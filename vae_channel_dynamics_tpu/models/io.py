@@ -1,0 +1,123 @@
+"""Model directory save/load and diffusers-checkpoint import.
+
+``save_model_dir``/``load_model_dir`` produce the ``<ckpt>/vae`` directory
+the evaluate CLI loads (the analog of diffusers save_pretrained /
+from_pretrained used at src/train.py:409-415 and src/evaluate.py:91-103):
+``config.json`` + ``model.safetensors`` with torch-style parameter names and
+layouts, so the directory is also inspectable by torch-side tooling.
+
+``import_diffusers_state_dict`` converts a diffusers AutoencoderKL state
+dict (torch names, OIHW conv kernels) into our Flax params pytree, enabling
+tensor-by-tensor parity checks against the reference when a pretrained
+checkpoint is locally available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Mapping, Tuple
+
+import jax
+import numpy as np
+
+from ..utils import naming
+from .vae import VAEConfig
+
+_SAFETENSORS_NAME = "model.safetensors"
+_CONFIG_NAME = "config.json"
+
+
+def flatten_params(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flax params pytree -> {torch_param_name: torch-layout ndarray}."""
+    out: Dict[str, np.ndarray] = {}
+    for name, leaf in naming.iter_torch_named_params(params):
+        out[name] = naming.to_torch_layout(name, leaf)
+    return out
+
+
+def _from_torch_layout(name: str, arr: np.ndarray, leaf_name: str) -> np.ndarray:
+    if leaf_name == "kernel":
+        if arr.ndim == 4:
+            return np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        if arr.ndim == 2:
+            return arr.T  # (out, in) -> (in, out)
+    return arr
+
+
+def unflatten_params(
+    template: Dict[str, Any], state_dict: Mapping[str, np.ndarray]
+) -> Dict[str, Any]:
+    """Rebuild a Flax params pytree shaped like ``template`` from a
+    torch-style state dict. Raises KeyError on missing parameters."""
+
+    def rebuild(node: Dict[str, Any], prefix: Tuple[str, ...]) -> Dict[str, Any]:
+        new: Dict[str, Any] = {}
+        for key, child in node.items():
+            path = prefix + (key,)
+            if isinstance(child, dict):
+                new[key] = rebuild(child, path)
+            else:
+                mod_name = naming.path_to_torch_name(prefix)
+                torch_leaf = "weight" if key in ("kernel", "scale") else key
+                torch_name = f"{mod_name}.{torch_leaf}"
+                if torch_name not in state_dict:
+                    raise KeyError(f"Missing parameter in state dict: {torch_name}")
+                arr = _from_torch_layout(
+                    torch_name, np.asarray(state_dict[torch_name]), key
+                )
+                if arr.shape != tuple(np.shape(child)):
+                    raise ValueError(
+                        f"Shape mismatch for {torch_name}: "
+                        f"{arr.shape} vs {np.shape(child)}"
+                    )
+                new[key] = arr.astype(np.asarray(child).dtype)
+        return new
+
+    return rebuild(template, ())
+
+
+def save_model_dir(path: str, config: VAEConfig, params: Dict[str, Any]) -> None:
+    os.makedirs(path, exist_ok=True)
+    flat = flatten_params(jax.device_get(params))
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
+              os.path.join(path, _SAFETENSORS_NAME))
+    cfg = config.to_dict()
+    cfg["_class_name"] = "AutoencoderKL"
+    cfg["_framework"] = "vae_channel_dynamics_tpu"
+    with open(os.path.join(path, _CONFIG_NAME), "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
+def load_model_dir(
+    path: str, template: Dict[str, Any] = None
+) -> Tuple[VAEConfig, Dict[str, Any]]:
+    """Load a model dir saved by :func:`save_model_dir` (or a diffusers
+    AutoencoderKL directory with safetensors weights)."""
+    with open(os.path.join(path, _CONFIG_NAME)) as f:
+        cfg_dict = json.load(f)
+    config = VAEConfig.from_dict(cfg_dict)
+    from safetensors.numpy import load_file
+
+    state_dict = load_file(os.path.join(path, _SAFETENSORS_NAME))
+    if template is None:
+        from .wrapper import SDXLVAEWrapper
+
+        template = SDXLVAEWrapper(config=config).params
+    params = unflatten_params(template, state_dict)
+    return config, params
+
+
+def import_diffusers_state_dict(
+    template: Dict[str, Any], state_dict: Mapping[str, Any]
+) -> Dict[str, Any]:
+    """Convert a diffusers AutoencoderKL state dict (possibly torch tensors)
+    to our params pytree."""
+    np_sd = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        np_sd[k] = np.asarray(v)
+    return unflatten_params(template, np_sd)

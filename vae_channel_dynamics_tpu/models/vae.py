@@ -1,0 +1,724 @@
+"""From-scratch Flax AutoencoderKL with the SDXL-VAE architecture.
+
+The reference downloads this model from the HF Hub
+(src/models/sdxl_vae_wrapper.py:31-34); here it is built natively for TPU:
+NHWC layout throughout (feeds the MXU's preferred conv layout), GroupNorm via
+``ops.group_norm`` (Pallas-fusable, fp32 statistics), bf16-friendly compute
+dtype threading, and compile-time "taps" that emit per-channel activation
+statistics as side outputs of the forward pass — the zero-copy replacement
+for the reference's forward hooks (src/tracking/monitor.py:82-139,
+src/models/sdxl_vae_wrapper.py:79-113).
+
+Architecture (diffusers stabilityai/sdxl-vae config): encoder with
+block_out_channels (128, 256, 512, 512) and 2 ResnetBlock2D per down block,
+attention mid-block, 8-channel moments -> DiagonalGaussianDistribution with
+4 latent channels; mirrored decoder with 3 resnets per up block;
+GroupNorm(32, eps=1e-6) + SiLU throughout; scaling_factor 0.13025.
+
+Module naming preserves the reference's dotted-name contract
+(SURVEY.md §2c) through utils/naming.py: Flax children are named so that
+``encoder.down_blocks.0.resnets.0.norm1`` maps to
+``encoder/down_blocks_0/resnets_0/norm1``.
+
+Capture taps: ``capture`` is a static tuple of
+``(layer_name, capture_point, metrics)`` entries. Every conv / norm / dense
+module knows its torch-style ``full_name`` and, when a spec matches, sows the
+requested statistics into the ``"stats"`` collection under the key
+``<layer_name>.<point>.<metric>``. An empty capture table compiles to the
+bare forward — zero overhead when tracking is off.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.group_norm import group_norm, silu
+from ..ops.stats import channel_stats
+from .distributions import DiagonalGaussianDistribution
+
+# (layer_name, capture_point, metrics) — layer_name without the "vae." prefix
+CaptureSpec = Tuple[str, str, Tuple[str, ...]]
+CaptureTable = Tuple[CaptureSpec, ...]
+
+
+def flatten_stats(stats_tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten the nested ``"stats"`` collection returned by ``apply`` into
+    ``{"<layer>.<point>.<metric>": array}``. Sown values are nested under the
+    emitting module's scope, but each leaf key already carries the full
+    identifier, so only the leaves matter."""
+    flat: Dict[str, Any] = {}
+
+    def walk(node: Any) -> None:
+        if isinstance(node, dict):
+            for key, child in node.items():
+                if isinstance(child, dict):
+                    walk(child)
+                else:
+                    flat[key] = child
+
+    walk(stats_tree)
+    return flat
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """Static architecture hyperparameters (diffusers config equivalent)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    scaling_factor: float = 0.13025
+    sample_size: int = 1024
+    mid_block_attention: bool = True
+
+    @classmethod
+    def sdxl(cls) -> "VAEConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "VAEConfig":
+        """A CPU-testable miniature with the same topology."""
+        return cls(
+            block_out_channels=(16, 32),
+            layers_per_block=1,
+            norm_num_groups=8,
+            sample_size=32,
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "VAEConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if "block_out_channels" in kwargs:
+            kwargs["block_out_channels"] = tuple(kwargs["block_out_channels"])
+        return cls(**kwargs)
+
+
+def _precision_for(dtype: Any) -> jax.lax.Precision:
+    """fp32 compute -> HIGHEST (true fp32 MXU passes, parity with the
+    reference's mixed_precision: "no"); bf16 compute -> DEFAULT."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform(a=sqrt(5)) on fan_in, matching torch Conv2d/Linear
+    defaults: bound = 1/sqrt(fan_in) for HWIO kernels."""
+    fan_in = math.prod(shape[:-1])
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TapModule(nn.Module):
+    """Base with compile-time activation taps. Subclasses declare
+    ``full_name: str`` and ``capture: CaptureTable`` fields."""
+
+    def _specs_for(self, point: str) -> Tuple[CaptureSpec, ...]:
+        return tuple(
+            s for s in self.capture if s[0] == self.full_name and s[1] == point
+        )
+
+    def tap(self, x: jax.Array, point: str) -> None:
+        for layer_name, pt, metrics in self._specs_for(point):
+            for metric, value in channel_stats(x, tuple(metrics)).items():
+                self.sow(
+                    "stats",
+                    f"{layer_name}.{pt}.{metric}",
+                    value,
+                    reduce_fn=lambda old, new: new,
+                    init_fn=lambda: None,
+                )
+
+
+class VConv(TapModule):
+    """2-D convolution, NHWC/HWIO, with activation taps."""
+
+    features: int = 0
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1))
+    dtype: Any = jnp.float32
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        self.tap(x, "input")
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            _torch_conv_kernel_init,
+            (*self.kernel_size, in_ch, self.features),
+        )
+        fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
+        bias = self.param("bias", _torch_bias_init(fan_in), (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=_precision_for(self.dtype),
+        )
+        y = y + bias.astype(self.dtype)
+        self.tap(y, "output")
+        return y
+
+
+class VDense(TapModule):
+    """Linear layer for the attention projections (kernel stored (in, out))."""
+
+    features: int = 0
+    dtype: Any = jnp.float32
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        self.tap(x, "input")
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", _torch_conv_kernel_init, (in_ch, self.features))
+        bias = self.param("bias", _torch_bias_init(in_ch), (self.features,))
+        y = (
+            jnp.dot(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                preferred_element_type=self.dtype,
+                precision=_precision_for(self.dtype),
+            )
+            + bias.astype(self.dtype)
+        )
+        self.tap(y, "output")
+        return y
+
+
+class VGroupNorm(TapModule):
+    """GroupNorm with optional trailing SiLU fusion.
+
+    When a tap targets this module's output the fusion is split so the tapped
+    tensor is the pure norm output (capture-point parity with diffusers,
+    where SiLU is a separate op after norm1/norm2).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-6
+    fuse_silu: bool = False
+    impl: str = "auto"
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        self.tap(x, "input")
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        tapped = bool(self._specs_for("output"))
+        if self.fuse_silu and not tapped:
+            return group_norm(
+                x, scale, bias, self.num_groups, self.eps, fuse_silu=True,
+                impl=self.impl,
+            )
+        y = group_norm(
+            x, scale, bias, self.num_groups, self.eps, fuse_silu=False,
+            impl=self.impl,
+        )
+        self.tap(y, "output")
+        return silu(y) if self.fuse_silu else y
+
+
+class ResnetBlock2D(TapModule):
+    """norm1+SiLU -> conv1 -> norm2+SiLU -> conv2, residual with optional
+    1x1 conv_shortcut when channel counts differ (diffusers ResnetBlock2D)."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    def setup(self):
+        fn = self.full_name
+        common = dict(dtype=self.dtype, capture=self.capture)
+        norm_common = dict(
+            num_groups=self.num_groups, eps=self.eps, fuse_silu=True,
+            impl=self.impl, capture=self.capture,
+        )
+        self.norm1 = VGroupNorm(full_name=f"{fn}.norm1", **norm_common)
+        self.conv1 = VConv(
+            features=self.out_channels, full_name=f"{fn}.conv1", **common
+        )
+        self.norm2 = VGroupNorm(full_name=f"{fn}.norm2", **norm_common)
+        self.conv2 = VConv(
+            features=self.out_channels, full_name=f"{fn}.conv2", **common
+        )
+        if self.in_channels != self.out_channels:
+            self.conv_shortcut = VConv(
+                features=self.out_channels,
+                kernel_size=(1, 1),
+                padding=((0, 0), (0, 0)),
+                full_name=f"{fn}.conv_shortcut",
+                **common,
+            )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = self.norm1(x)
+        h = self.conv1(h)
+        h = self.norm2(h)
+        h = self.conv2(h)
+        if self.in_channels != self.out_channels:
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class AttentionBlock(TapModule):
+    """Single-head self-attention over spatial positions (diffusers
+    Attention as used in the VAE mid block: group_norm -> q/k/v -> softmax
+    (fp32) -> out projection -> residual)."""
+
+    channels: int = 0
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    def setup(self):
+        fn = self.full_name
+        self.group_norm = VGroupNorm(
+            num_groups=self.num_groups,
+            eps=self.eps,
+            impl=self.impl,
+            full_name=f"{fn}.group_norm",
+            capture=self.capture,
+        )
+        common = dict(features=self.channels, dtype=self.dtype, capture=self.capture)
+        self.to_q = VDense(full_name=f"{fn}.to_q", **common)
+        self.to_k = VDense(full_name=f"{fn}.to_k", **common)
+        self.to_v = VDense(full_name=f"{fn}.to_v", **common)
+        self.to_out = [VDense(full_name=f"{fn}.to_out.0", **common)]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        h = self.group_norm(x)
+        h = h.reshape(b, hh * ww, c)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        scale = 1.0 / math.sqrt(c)
+        prec = _precision_for(self.dtype)
+        logits = jnp.einsum(
+            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * scale
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        h = jnp.einsum(
+            "bqk,bkc->bqc", attn, v, preferred_element_type=self.dtype,
+            precision=prec,
+        )
+        h = self.to_out[0](h)
+        return x + h.reshape(b, hh, ww, c)
+
+
+class Downsample2D(TapModule):
+    """Stride-2 conv with asymmetric (0,1) padding (diffusers Downsample2D
+    with use_conv=True, padding=0 + F.pad (0,1,0,1))."""
+
+    channels: int = 0
+    dtype: Any = jnp.float32
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    def setup(self):
+        self.conv = VConv(
+            features=self.channels,
+            strides=(2, 2),
+            padding=((0, 1), (0, 1)),
+            dtype=self.dtype,
+            full_name=f"{self.full_name}.conv",
+            capture=self.capture,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.conv(x)
+
+
+class Upsample2D(TapModule):
+    """Nearest-neighbor 2x upsample followed by 3x3 conv (diffusers
+    Upsample2D with use_conv=True)."""
+
+    channels: int = 0
+    dtype: Any = jnp.float32
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    def setup(self):
+        self.conv = VConv(
+            features=self.channels,
+            dtype=self.dtype,
+            full_name=f"{self.full_name}.conv",
+            capture=self.capture,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return self.conv(x)
+
+
+class DownEncoderBlock2D(TapModule):
+    in_channels: int = 0
+    out_channels: int = 0
+    num_layers: int = 2
+    add_downsample: bool = True
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    def setup(self):
+        fn = self.full_name
+        self.resnets = [
+            ResnetBlock2D(
+                in_channels=self.in_channels if j == 0 else self.out_channels,
+                out_channels=self.out_channels,
+                num_groups=self.num_groups,
+                eps=self.eps,
+                dtype=self.dtype,
+                impl=self.impl,
+                full_name=f"{fn}.resnets.{j}",
+                capture=self.capture,
+            )
+            for j in range(self.num_layers)
+        ]
+        if self.add_downsample:
+            self.downsamplers = [
+                Downsample2D(
+                    channels=self.out_channels,
+                    dtype=self.dtype,
+                    full_name=f"{fn}.downsamplers.0",
+                    capture=self.capture,
+                )
+            ]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for resnet in self.resnets:
+            x = resnet(x)
+        if self.add_downsample:
+            x = self.downsamplers[0](x)
+        return x
+
+
+class UpDecoderBlock2D(TapModule):
+    in_channels: int = 0
+    out_channels: int = 0
+    num_layers: int = 3
+    add_upsample: bool = True
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    def setup(self):
+        fn = self.full_name
+        self.resnets = [
+            ResnetBlock2D(
+                in_channels=self.in_channels if j == 0 else self.out_channels,
+                out_channels=self.out_channels,
+                num_groups=self.num_groups,
+                eps=self.eps,
+                dtype=self.dtype,
+                impl=self.impl,
+                full_name=f"{fn}.resnets.{j}",
+                capture=self.capture,
+            )
+            for j in range(self.num_layers)
+        ]
+        if self.add_upsample:
+            self.upsamplers = [
+                Upsample2D(
+                    channels=self.out_channels,
+                    dtype=self.dtype,
+                    full_name=f"{fn}.upsamplers.0",
+                    capture=self.capture,
+                )
+            ]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for resnet in self.resnets:
+            x = resnet(x)
+        if self.add_upsample:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class UNetMidBlock2D(TapModule):
+    channels: int = 0
+    num_groups: int = 32
+    eps: float = 1e-6
+    use_attention: bool = True
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    full_name: str = ""
+    capture: CaptureTable = ()
+
+    def setup(self):
+        fn = self.full_name
+        common = dict(
+            num_groups=self.num_groups, eps=self.eps, dtype=self.dtype,
+            impl=self.impl, capture=self.capture,
+        )
+        self.resnets = [
+            ResnetBlock2D(
+                in_channels=self.channels,
+                out_channels=self.channels,
+                full_name=f"{fn}.resnets.{j}",
+                **common,
+            )
+            for j in range(2)
+        ]
+        if self.use_attention:
+            self.attentions = [
+                AttentionBlock(
+                    channels=self.channels,
+                    full_name=f"{fn}.attentions.0",
+                    **common,
+                )
+            ]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.resnets[0](x)
+        if self.use_attention:
+            x = self.attentions[0](x)
+        x = self.resnets[1](x)
+        return x
+
+
+class Encoder(TapModule):
+    config: VAEConfig = VAEConfig()
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    full_name: str = "encoder"
+    capture: CaptureTable = ()
+
+    def setup(self):
+        cfg = self.config
+        fn = self.full_name
+        boc = cfg.block_out_channels
+        self.conv_in = VConv(
+            features=boc[0], dtype=self.dtype,
+            full_name=f"{fn}.conv_in", capture=self.capture,
+        )
+        blocks = []
+        for i, out_ch in enumerate(boc):
+            in_ch = boc[i - 1] if i > 0 else boc[0]
+            blocks.append(
+                DownEncoderBlock2D(
+                    in_channels=in_ch,
+                    out_channels=out_ch,
+                    num_layers=cfg.layers_per_block,
+                    add_downsample=i < len(boc) - 1,
+                    num_groups=cfg.norm_num_groups,
+                    eps=cfg.norm_eps,
+                    dtype=self.dtype,
+                    impl=self.impl,
+                    full_name=f"{fn}.down_blocks.{i}",
+                    capture=self.capture,
+                )
+            )
+        self.down_blocks = blocks
+        self.mid_block = UNetMidBlock2D(
+            channels=boc[-1],
+            num_groups=cfg.norm_num_groups,
+            eps=cfg.norm_eps,
+            use_attention=cfg.mid_block_attention,
+            dtype=self.dtype,
+            impl=self.impl,
+            full_name=f"{fn}.mid_block",
+            capture=self.capture,
+        )
+        self.conv_norm_out = VGroupNorm(
+            num_groups=cfg.norm_num_groups,
+            eps=cfg.norm_eps,
+            fuse_silu=True,
+            impl=self.impl,
+            full_name=f"{fn}.conv_norm_out",
+            capture=self.capture,
+        )
+        self.conv_out = VConv(
+            features=2 * cfg.latent_channels,
+            dtype=self.dtype,
+            full_name=f"{fn}.conv_out",
+            capture=self.capture,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.conv_in(x)
+        for block in self.down_blocks:
+            x = block(x)
+        x = self.mid_block(x)
+        x = self.conv_norm_out(x)
+        return self.conv_out(x)
+
+
+class Decoder(TapModule):
+    config: VAEConfig = VAEConfig()
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    full_name: str = "decoder"
+    capture: CaptureTable = ()
+
+    def setup(self):
+        cfg = self.config
+        fn = self.full_name
+        reversed_boc = tuple(reversed(cfg.block_out_channels))
+        self.conv_in = VConv(
+            features=reversed_boc[0], dtype=self.dtype,
+            full_name=f"{fn}.conv_in", capture=self.capture,
+        )
+        self.mid_block = UNetMidBlock2D(
+            channels=reversed_boc[0],
+            num_groups=cfg.norm_num_groups,
+            eps=cfg.norm_eps,
+            use_attention=cfg.mid_block_attention,
+            dtype=self.dtype,
+            impl=self.impl,
+            full_name=f"{fn}.mid_block",
+            capture=self.capture,
+        )
+        blocks = []
+        for i, out_ch in enumerate(reversed_boc):
+            in_ch = reversed_boc[i - 1] if i > 0 else reversed_boc[0]
+            blocks.append(
+                UpDecoderBlock2D(
+                    in_channels=in_ch,
+                    out_channels=out_ch,
+                    num_layers=cfg.layers_per_block + 1,
+                    add_upsample=i < len(reversed_boc) - 1,
+                    num_groups=cfg.norm_num_groups,
+                    eps=cfg.norm_eps,
+                    dtype=self.dtype,
+                    impl=self.impl,
+                    full_name=f"{fn}.up_blocks.{i}",
+                    capture=self.capture,
+                )
+            )
+        self.up_blocks = blocks
+        self.conv_norm_out = VGroupNorm(
+            num_groups=cfg.norm_num_groups,
+            eps=cfg.norm_eps,
+            fuse_silu=True,
+            impl=self.impl,
+            full_name=f"{fn}.conv_norm_out",
+            capture=self.capture,
+        )
+        self.conv_out = VConv(
+            features=cfg.out_channels,
+            dtype=self.dtype,
+            full_name=f"{fn}.conv_out",
+            capture=self.capture,
+        )
+
+    def __call__(self, z: jax.Array) -> jax.Array:
+        z = self.conv_in(z)
+        z = self.mid_block(z)
+        for block in self.up_blocks:
+            z = block(z)
+        z = self.conv_norm_out(z)
+        return self.conv_out(z)
+
+
+class AutoencoderKL(nn.Module):
+    """The full VAE. ``__call__(pixel_values, sample_posterior, rng)`` returns
+    the reference wrapper's output contract (src/models/sdxl_vae_wrapper.py:42-77):
+    reconstruction, latent_dist, latents_sampled (no scaling_factor applied)."""
+
+    config: VAEConfig = VAEConfig()
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+    capture: CaptureTable = ()
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = Encoder(
+            config=cfg, dtype=self.dtype, impl=self.impl,
+            full_name="encoder", capture=self.capture,
+        )
+        self.decoder = Decoder(
+            config=cfg, dtype=self.dtype, impl=self.impl,
+            full_name="decoder", capture=self.capture,
+        )
+        self.quant_conv = VConv(
+            features=2 * cfg.latent_channels,
+            kernel_size=(1, 1),
+            padding=((0, 0), (0, 0)),
+            dtype=self.dtype,
+            full_name="quant_conv",
+            capture=self.capture,
+        )
+        self.post_quant_conv = VConv(
+            features=cfg.latent_channels,
+            kernel_size=(1, 1),
+            padding=((0, 0), (0, 0)),
+            dtype=self.dtype,
+            full_name="post_quant_conv",
+            capture=self.capture,
+        )
+
+    def encode(self, x: jax.Array) -> DiagonalGaussianDistribution:
+        moments = self.quant_conv(self.encoder(x))
+        return DiagonalGaussianDistribution.from_moments(moments)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(
+        self,
+        pixel_values: jax.Array,
+        sample_posterior: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, Any]:
+        latent_dist = self.encode(pixel_values)
+        if sample_posterior:
+            if rng is None:
+                rng = self.make_rng("sample")
+            latents = latent_dist.sample(rng)
+        else:
+            latents = latent_dist.mode()
+        reconstruction = self.decode(latents.astype(self.dtype))
+        return {
+            "reconstruction": reconstruction,
+            "latent_dist": latent_dist,
+            "latents_sampled": latents,
+        }

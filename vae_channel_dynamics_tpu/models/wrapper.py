@@ -1,0 +1,168 @@
+"""Eager convenience wrapper mirroring the reference SDXLVAEWrapper API
+(src/models/sdxl_vae_wrapper.py:10-179) on top of the functional Flax model.
+
+Training does NOT go through this class (the train loop uses the pure jitted
+step in ``training.step``); it exists for evaluation, analysis, and API
+parity: ``forward()``, ``encode()``/``decode()`` (with scaling_factor and
+[-1, 1] clamp), and the hook-style activation capture
+(``add_hooks``/``get_captured_activations``/``remove_hooks``) implemented as
+compile-time capture tables instead of runtime forward hooks.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.naming import strip_vae_prefix
+from .vae import AutoencoderKL, CaptureTable, VAEConfig, flatten_stats
+
+logger = logging.getLogger(__name__)
+
+
+class SDXLVAEWrapper:
+    def __init__(
+        self,
+        config: Optional[VAEConfig] = None,
+        params: Optional[Dict[str, Any]] = None,
+        dtype: Any = jnp.float32,
+        seed: int = 0,
+        impl: str = "auto",
+    ):
+        self.config = config or VAEConfig.sdxl()
+        self.dtype = dtype
+        self.impl = impl
+        self.scaling_factor = self.config.scaling_factor
+        if params is None:
+            params = self.init_params(seed)
+        self.params = params
+        self._capture: CaptureTable = ()
+        self._captured: Dict[str, np.ndarray] = {}
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    def _module(self, capture: CaptureTable = ()) -> AutoencoderKL:
+        return AutoencoderKL(
+            config=self.config, dtype=self.dtype, impl=self.impl, capture=capture
+        )
+
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        cfg = self.config
+        sample = jnp.zeros(
+            (1, min(cfg.sample_size, 32), min(cfg.sample_size, 32), cfg.in_channels),
+            self.dtype,
+        )
+        variables = self._module().init(
+            {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(0)},
+            sample,
+            sample_posterior=False,
+        )
+        return variables["params"]
+
+    def _apply_fn(self, capture: CaptureTable, sample_posterior: bool):
+        key = ("forward", capture, sample_posterior)
+        if key not in self._jit_cache:
+            module = self._module(capture)
+
+            def fn(params, pixel_values, rng):
+                out, mutated = module.apply(
+                    {"params": params},
+                    pixel_values,
+                    sample_posterior=sample_posterior,
+                    rng=rng,
+                    mutable=["stats"],
+                )
+                return out, flatten_stats(mutated.get("stats", {}))
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------ #
+    def forward(
+        self,
+        pixel_values: jax.Array,
+        sample_posterior: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, Any]:
+        """Encode -> sample/mode -> decode. NHWC input in [-1, 1]. No
+        scaling_factor applied (training contract, sdxl_vae_wrapper.py:69-70).
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        fn = self._apply_fn(self._capture, sample_posterior)
+        out, stats = fn(self.params, pixel_values, rng)
+        if self._capture:
+            self._store_captured(stats)
+        return out
+
+    def __call__(self, pixel_values, sample_posterior: bool = True, rng=None):
+        return self.forward(pixel_values, sample_posterior, rng)
+
+    # ------------------------------------------------------------------ #
+    # Hook-style capture (sdxl_vae_wrapper.py:91-143 equivalents)
+    def add_hooks(self, layer_names: List[str]) -> None:
+        """Capture full activation maps at the named layers' outputs on
+        subsequent forwards. Names may carry or omit the ``vae.`` prefix."""
+        self.remove_hooks()
+        self._capture = tuple(
+            (strip_vae_prefix(n), "output", ("full_activation_map",))
+            for n in layer_names
+        )
+        if layer_names:
+            logger.info("Registered activation capture for: %s", layer_names)
+
+    def remove_hooks(self) -> None:
+        self._capture = ()
+        self._captured = {}
+
+    def _store_captured(self, stats: Dict[str, Any]) -> None:
+        for key, value in stats.items():
+            # key format: <layer>.<point>.full_activation_map
+            if key.endswith(".full_activation_map"):
+                layer = key[: -len(".output.full_activation_map")]
+                self._captured[layer] = np.asarray(jax.device_get(value))
+
+    def get_captured_activations(self) -> Dict[str, np.ndarray]:
+        """Captured activations keyed by plain layer name, NCHW numpy."""
+        return self._captured
+
+    def clear_captured_activations(self) -> None:
+        self._captured = {}
+
+    # ------------------------------------------------------------------ #
+    # Inference helpers (sdxl_vae_wrapper.py:147-179)
+    def encode(self, pixel_values: jax.Array, rng: Optional[jax.Array] = None):
+        """Pixel values [-1, 1] -> scaled latents (scaling_factor applied)."""
+        key = ("encode",)
+        if key not in self._jit_cache:
+            module = self._module()
+
+            def fn(params, x, rng):
+                dist = module.apply({"params": params}, x, method=module.encode)
+                return dist.sample(rng) * self.scaling_factor
+
+            self._jit_cache[key] = jax.jit(fn)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._jit_cache[key](self.params, pixel_values, rng)
+
+    def decode(self, latents: jax.Array) -> jax.Array:
+        """Scaled latents -> pixels clamped to [-1, 1]."""
+        key = ("decode",)
+        if key not in self._jit_cache:
+            module = self._module()
+
+            def fn(params, z):
+                img = module.apply(
+                    {"params": params},
+                    z / self.scaling_factor,
+                    method=module.decode,
+                )
+                return jnp.clip(img, -1.0, 1.0)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](self.params, latents)

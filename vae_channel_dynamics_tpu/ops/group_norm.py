@@ -1,0 +1,85 @@
+"""GroupNorm (+ optional fused SiLU) for NHWC tensors.
+
+This is the single entry point the model uses; ``impl`` selects between the
+pure-XLA path (always available, CPU-testable) and the Pallas TPU kernel
+(``vae_channel_dynamics_tpu.ops.pallas_group_norm``) which fuses
+normalize+affine+SiLU into one VMEM pass and can emit per-channel activation
+statistics as side outputs (the zero-copy replacement for the reference's
+forward hooks, src/tracking/monitor.py:82-139).
+
+Numerics contract (matches torch.nn.GroupNorm / diffusers AutoencoderKL):
+- statistics over (H, W, C//G) per (sample, group), biased variance (ddof=0)
+- eps added to variance before rsqrt (diffusers VAE uses eps=1e-6)
+- statistics computed in float32 regardless of input dtype; output cast back
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_IMPL = "auto"
+
+
+def _group_norm_xla(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    eps: float,
+    fuse_silu: bool,
+) -> jax.Array:
+    orig_dtype = x.dtype
+    b, h, w, c = x.shape
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xn = (xf - mean) * inv
+    xn = xn.reshape(b, h, w, c)
+    out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if fuse_silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(orig_dtype)
+
+
+def group_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    fuse_silu: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """GroupNorm over an NHWC tensor, optionally fused with SiLU.
+
+    Args:
+        x: (B, H, W, C) input.
+        scale, bias: per-channel affine, shape (C,).
+        num_groups: number of channel groups (32 for SDXL-VAE).
+        eps: added to variance (1e-6 for SDXL-VAE).
+        fuse_silu: apply x*sigmoid(x) after the affine.
+        impl: 'xla' | 'pallas' | 'auto' (pallas on TPU when eligible).
+    """
+    if impl in ("pallas", "auto"):
+        try:
+            from . import pallas_group_norm
+
+            if pallas_group_norm.eligible(x, num_groups, impl):
+                return pallas_group_norm.group_norm_silu(
+                    x, scale, bias, num_groups=num_groups, eps=eps, fuse_silu=fuse_silu
+                )
+        except ImportError:
+            pass
+        if impl == "pallas":
+            raise RuntimeError("Pallas group_norm requested but not eligible here")
+    return _group_norm_xla(x, scale, bias, num_groups, eps, fuse_silu)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+__all__ = ["group_norm", "silu"]
