@@ -1,0 +1,159 @@
+"""Data pipeline: transform parity, synthetic datasets, loader collate."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vae_channel_dynamics_tpu.data import (
+    SyntheticImageDataset,
+    create_dataloader,
+    get_transform,
+    load_and_preprocess_dataset,
+)
+from vae_channel_dynamics_tpu.data.synthetic import parse_synthetic_name
+
+
+def test_transform_range_and_shape():
+    t = get_transform(32)
+    img = Image.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+    )
+    out = t(img)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_transform_shorter_side_resize():
+    """Resize targets the shorter side, then center crop (torchvision
+    T.Resize(int) semantics, data_utils.py:25-26)."""
+    t = get_transform(16)
+    tall = Image.fromarray(np.full((64, 32, 3), 128, np.uint8))
+    assert t(tall).shape == (16, 16, 3)
+    wide = Image.fromarray(np.full((32, 64, 3), 128, np.uint8))
+    assert t(wide).shape == (16, 16, 3)
+
+
+def test_transform_grayscale_to_rgb():
+    t = get_transform(8)
+    gray = Image.fromarray(np.full((16, 16), 200, np.uint8), mode="L")
+    out = t(gray)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_allclose(out, (200 / 255.0 - 0.5) / 0.5, atol=1e-6)
+
+
+def test_transform_value_parity():
+    """Pixel value mapping: uint8 v -> (v/255 - 0.5)/0.5."""
+    t = get_transform(4)
+    img = Image.fromarray(np.full((4, 4, 3), 255, np.uint8))
+    np.testing.assert_allclose(t(img), 1.0, atol=1e-6)
+    img0 = Image.fromarray(np.zeros((4, 4, 3), np.uint8))
+    np.testing.assert_allclose(t(img0), -1.0, atol=1e-6)
+
+
+def test_parse_synthetic_name():
+    assert parse_synthetic_name("synthetic://shapes?num_samples=64") == {
+        "kind": "shapes",
+        "num_samples": "64",
+    }
+    assert parse_synthetic_name("synthetic/noise")["kind"] == "noise"
+    assert parse_synthetic_name("uoft-cs/cifar10") is None
+
+
+def test_synthetic_deterministic():
+    a = SyntheticImageDataset("shapes", 8, 32, seed=1)[3]["pixel_values"]
+    b = SyntheticImageDataset("shapes", 8, 32, seed=1)[3]["pixel_values"]
+    np.testing.assert_array_equal(a, b)
+    c = SyntheticImageDataset("shapes", 8, 32, seed=2)[3]["pixel_values"]
+    assert not np.array_equal(a, c)
+    # splits differ
+    d = SyntheticImageDataset("shapes", 8, 32, seed=1, split="test")[3]["pixel_values"]
+    assert not np.array_equal(a, d)
+
+
+def test_load_synthetic_dataset():
+    ds = load_and_preprocess_dataset(
+        "synthetic://gradients", resolution=16, max_samples=10
+    )
+    assert len(ds) == 10
+    item = ds[0]["pixel_values"]
+    assert item.shape == (16, 16, 3)
+    assert item.dtype == np.float32
+
+
+def test_load_image_folder(tmp_path):
+    for i in range(5):
+        arr = np.full((20, 20, 3), i * 40, np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.png")
+    ds = load_and_preprocess_dataset(str(tmp_path), resolution=8, max_samples=3)
+    assert len(ds) == 3
+    assert ds[0]["pixel_values"].shape == (8, 8, 3)
+
+
+def test_load_unreachable_raises_without_fallback(monkeypatch):
+    monkeypatch.delenv("VCD_DATA_FALLBACK", raising=False)
+    with pytest.raises(Exception):
+        load_and_preprocess_dataset("definitely/not-a-dataset", resolution=8)
+
+
+def test_load_unreachable_synthetic_fallback(monkeypatch):
+    monkeypatch.setenv("VCD_DATA_FALLBACK", "synthetic")
+    ds = load_and_preprocess_dataset(
+        "definitely/not-a-dataset", resolution=8, max_samples=4
+    )
+    assert len(ds) == 4
+
+
+def test_dataloader_batching_and_shuffle():
+    ds = SyntheticImageDataset("noise", 10, 8, seed=0)
+    loader = create_dataloader(ds, batch_size=4, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["pixel_values"].shape == (4, 8, 8, 3)
+    assert batches[2]["pixel_values"].shape == (2, 8, 8, 3)  # remainder kept
+    # epoch reshuffle changes order
+    flat1 = np.concatenate([b["pixel_values"] for b in batches])
+    flat2 = np.concatenate([b["pixel_values"] for b in loader])
+    assert flat1.shape == flat2.shape
+    assert not np.array_equal(flat1, flat2)
+    # but the multiset of samples is identical
+    assert np.allclose(np.sort(flat1.ravel()), np.sort(flat2.ravel()))
+
+
+def test_dataloader_drops_bad_items():
+    class Flaky:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            if i % 2 == 0:
+                raise ValueError("corrupt record")
+            return {"pixel_values": np.zeros((4, 4, 3), np.float32)}
+
+    loader = create_dataloader(Flaky(), batch_size=2, shuffle=False)
+    batches = list(loader)
+    # indices (0,1): one good; (2,3): one good; (4,5): one good
+    assert all(b is not None and b["pixel_values"].shape[0] == 1 for b in batches)
+
+
+def test_dataloader_fully_bad_batch_is_none():
+    class AllBad:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise ValueError("corrupt")
+
+    loader = create_dataloader(AllBad(), batch_size=2, shuffle=False)
+    assert list(loader) == [None]
+
+
+def test_dataloader_threaded_matches_sync():
+    ds = SyntheticImageDataset("gradients", 9, 8, seed=3)
+    sync = list(create_dataloader(ds, batch_size=4, shuffle=False))
+    threaded = list(
+        create_dataloader(ds, batch_size=4, shuffle=False, num_workers=2)
+    )
+    assert len(sync) == len(threaded)
+    for a, b in zip(sync, threaded):
+        np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])

@@ -1,0 +1,376 @@
+"""Input pipeline: dataset loading, preprocessing, batching, prefetch.
+
+Behavioral contract (reference: src/data_utils.py):
+- transform = shorter-side bilinear resize -> center crop -> RGB ->
+  normalize to [-1, 1] (data_utils.py:24-30), applied lazily per item
+- image-column fallback ``image`` <-> ``img`` (data_utils.py:87-94)
+- ``max_samples`` takes the first N (data_utils.py:97-115)
+- bad records are dropped at collate; a fully-bad batch yields ``None``
+  (data_utils.py:197-215)
+
+TPU-native differences: batches are NHWC float32 numpy (device transfer is
+the train step's job, overlapped via ``Prefetcher``); sources are pluggable
+(HF datasets when reachable, local image folders, ``synthetic://`` names);
+optional native C++ decode/resize path (``data.native``) replaces the PIL
+hot loop when built.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import queue as queue_mod
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .synthetic import SyntheticImageDataset, parse_synthetic_name
+
+logger = logging.getLogger(__name__)
+
+_IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+# --------------------------------------------------------------------------- #
+# Transform
+# --------------------------------------------------------------------------- #
+def get_transform(resolution: int) -> Callable[[Any], np.ndarray]:
+    """Shorter-side bilinear resize -> center crop -> RGB -> [-1, 1] HWC
+    float32 (torchvision-pipeline parity, data_utils.py:24-30)."""
+    from PIL import Image
+
+    def transform(img) -> np.ndarray:
+        if isinstance(img, np.ndarray):
+            arr = img
+            if arr.dtype == np.uint8:
+                img = Image.fromarray(arr)
+            else:  # already float, assume preprocessed HWC [-1, 1]
+                return arr.astype(np.float32)
+        if not isinstance(img, Image.Image):
+            raise TypeError(f"Unsupported image type: {type(img)}")
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        w, h = img.size
+        short = min(w, h)
+        if short != resolution:
+            scale = resolution / short
+            new_w = max(resolution, int(round(w * scale)))
+            new_h = max(resolution, int(round(h * scale)))
+            img = img.resize((new_w, new_h), Image.BILINEAR)
+        w, h = img.size
+        left = (w - resolution) // 2
+        top = (h - resolution) // 2
+        img = img.crop((left, top, left + resolution, top + resolution))
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return (arr - 0.5) / 0.5  # HWC in [-1, 1]
+
+    return transform
+
+
+# --------------------------------------------------------------------------- #
+# Sources
+# --------------------------------------------------------------------------- #
+class TransformedDataset:
+    """Map-style dataset applying the transform lazily; returns ``None`` for
+    items that fail to load/transform (dropped at collate)."""
+
+    def __init__(self, source, image_column: str, transform):
+        self.source = source
+        self.image_column = image_column
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def __getitem__(self, index: int) -> Optional[Dict[str, np.ndarray]]:
+        try:
+            item = self.source[index]
+            img = item[self.image_column]
+            return {"pixel_values": self.transform(img)}
+        except Exception as e:  # noqa: BLE001 — mirror drop-bad-record behavior
+            logger.warning("Dropping bad record %d: %s", index, e)
+            return None
+
+
+class ImageFolderSource:
+    """Local directory of images (recursive), an offline stand-in for HF
+    imagefolder datasets."""
+
+    def __init__(self, root: str):
+        self.paths: List[str] = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in sorted(filenames):
+                if fn.lower().endswith(_IMAGE_EXTENSIONS):
+                    self.paths.append(os.path.join(dirpath, fn))
+        if not self.paths:
+            raise ValueError(f"No images found under {root}")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        from PIL import Image
+
+        return {"image": Image.open(self.paths[index])}
+
+
+def load_and_preprocess_dataset(
+    dataset_name: str,
+    dataset_config_name: Optional[str] = None,
+    image_column: str = "image",
+    resolution: int = 256,
+    max_samples: Optional[int] = None,
+    split: str = "train",
+    streaming: bool = False,
+    cache_dir: Optional[str] = None,
+    seed: int = 0,
+):
+    """Resolve a dataset name to a map-style dataset of
+    ``{"pixel_values": HWC float32 [-1, 1]}`` items.
+
+    Resolution order:
+    1. ``synthetic://...`` names -> SyntheticImageDataset
+    2. an existing local directory -> ImageFolderSource
+    3. HF ``datasets.load_dataset`` (works offline only with a warm cache)
+
+    With ``VCD_DATA_FALLBACK=synthetic`` a failed HF load falls back to
+    synthetic data with a loud warning instead of raising, so reference
+    configs remain runnable in network-isolated environments.
+    """
+    syn = parse_synthetic_name(dataset_name)
+    if syn is not None:
+        num = max_samples or int(syn.get("num_samples", 256))
+        ds = SyntheticImageDataset(
+            kind=syn["kind"],
+            num_samples=num,
+            resolution=resolution,
+            seed=seed + int(syn.get("seed", 0)),
+            split=split,
+        )
+        logger.info(
+            "Synthetic dataset '%s': %d samples @%dpx (%s split)",
+            syn["kind"], len(ds), resolution, split,
+        )
+        return ds
+
+    transform = get_transform(resolution)
+
+    if os.path.isdir(dataset_name):
+        source = ImageFolderSource(dataset_name)
+        if max_samples is not None and max_samples < len(source):
+            source.paths = source.paths[:max_samples]
+        logger.info("Image folder dataset: %d files", len(source))
+        return TransformedDataset(source, "image", transform)
+
+    try:
+        import datasets as hf_datasets
+
+        dataset = hf_datasets.load_dataset(
+            dataset_name,
+            name=dataset_config_name,
+            split=split,
+            streaming=streaming,
+            cache_dir=cache_dir,
+        )
+        if image_column not in dataset.features:
+            alt = "img" if image_column == "image" else "image"
+            if alt in dataset.features:
+                logger.warning(
+                    "Image column '%s' not found; using '%s'", image_column, alt
+                )
+                image_column = alt
+            else:
+                raise ValueError(
+                    f"Image column '{image_column}' not in features: "
+                    f"{list(dataset.features)}"
+                )
+        if max_samples is not None:
+            if streaming:
+                dataset = dataset.take(max_samples)
+            elif max_samples <= len(dataset):
+                dataset = dataset.select(range(max_samples))
+            else:
+                logger.warning(
+                    "max_samples (%d) > dataset size (%d); using full dataset",
+                    max_samples, len(dataset),
+                )
+        return TransformedDataset(dataset, image_column, transform)
+    except Exception as e:  # noqa: BLE001
+        fallback = os.environ.get("VCD_DATA_FALLBACK", "")
+        if fallback == "synthetic":
+            logger.error(
+                "FALLING BACK TO SYNTHETIC DATA: failed to load '%s' (%s). "
+                "Metrics will NOT be comparable to real-data runs.",
+                dataset_name, e,
+            )
+            return SyntheticImageDataset(
+                kind="shapes",
+                num_samples=max_samples or 256,
+                resolution=resolution,
+                seed=seed,
+                split=split,
+            )
+        raise
+
+
+# --------------------------------------------------------------------------- #
+# Loader
+# --------------------------------------------------------------------------- #
+class DataLoader:
+    """Minimal epoch-aware batching loader over a map-style dataset.
+
+    Collate semantics mirror safe_collate (data_utils.py:197-215): bad items
+    are dropped; a fully-bad batch yields ``None``. Shuffling reshuffles
+    every epoch with a per-epoch seed. ``num_workers`` threads overlap the
+    per-item transform work (PIL decode/resize) with consumption.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_workers: int = 0,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.num_workers = int(num_workers)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch])
+        )
+        return rng.permutation(n)
+
+    def _fetch(self, index: int):
+        try:
+            return self.dataset[int(index)]
+        except Exception as e:  # noqa: BLE001
+            logger.warning("DataLoader: dropping index %d (%s)", index, e)
+            return None
+
+    def _collate(self, items: List[Optional[Dict[str, np.ndarray]]]):
+        good = [
+            it["pixel_values"]
+            for it in items
+            if it is not None and it.get("pixel_values") is not None
+        ]
+        if len(good) < len(items):
+            logger.warning(
+                "Collate dropped %d bad item(s)", len(items) - len(good)
+            )
+        if not good:
+            return None
+        return {"pixel_values": np.stack(good).astype(np.float32)}
+
+    def __iter__(self) -> Iterator[Optional[Dict[str, np.ndarray]]]:
+        order = self._order()
+        n_batches = len(self)
+        self._epoch += 1
+
+        def batch_indices(b: int) -> np.ndarray:
+            return order[b * self.batch_size : (b + 1) * self.batch_size]
+
+        if self.num_workers <= 0:
+            for b in range(n_batches):
+                yield self._collate([self._fetch(i) for i in batch_indices(b)])
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: "queue_mod.Queue" = queue_mod.Queue()
+            depth = 2  # batches in flight
+
+            def submit(b: int) -> None:
+                futures = [pool.submit(self._fetch, i) for i in batch_indices(b)]
+                pending.put(futures)
+
+            for b in range(min(depth, n_batches)):
+                submit(b)
+            for b in range(n_batches):
+                futures = pending.get()
+                if b + depth < n_batches:
+                    submit(b + depth)
+                yield self._collate([f.result() for f in futures])
+
+
+def create_dataloader(
+    dataset,
+    batch_size: int,
+    num_workers: int = 0,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = False,
+) -> DataLoader:
+    logger.info(
+        "Creating DataLoader (batch=%d, shuffle=%s, workers=%d)",
+        batch_size, shuffle, num_workers,
+    )
+    return DataLoader(
+        dataset,
+        batch_size=batch_size,
+        num_workers=num_workers,
+        shuffle=shuffle,
+        seed=seed,
+        drop_last=drop_last,
+    )
+
+
+class Prefetcher:
+    """Background-thread device prefetch: overlaps host batch assembly and
+    H2D transfer with device compute (the pinned-memory/pin_memory analog,
+    data_utils.py:218-225, done the JAX way with jax.device_put ahead of
+    consumption)."""
+
+    def __init__(self, iterator: Iterator, sharding=None, depth: int = 2):
+        import jax
+
+        self._jax = jax
+        self.sharding = sharding
+        self._queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._thread = threading.Thread(
+            target=self._worker, args=(iterator,), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, iterator: Iterator) -> None:
+        try:
+            for batch in iterator:
+                if batch is not None and self.sharding is not None:
+                    batch = {
+                        k: self._jax.device_put(v, self.sharding)
+                        for k, v in batch.items()
+                    }
+                self._queue.put(batch)
+        finally:
+            self._queue.put(self._sentinel)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._sentinel:
+            raise StopIteration
+        return item
