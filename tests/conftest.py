@@ -8,7 +8,10 @@ paths compile and execute exactly as they would across chips.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend for the whole suite (the environment may preset
+# JAX_PLATFORMS to a TPU plugin); override with VCD_TEST_PLATFORM to run
+# the suite against real hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("VCD_TEST_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vae_channel_dynamics_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,320 @@
+"""Monitor, dead-weight tracker, classifier, nudger — semantics parity.
+
+The assertions mirror the reference's executable __main__ self-tests
+(deadneuron.py:118-204 exact percentages, nudger.py:175-305 nudge math,
+monitor.py:277-360 wandb keys + CSV records)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_channel_dynamics_tpu.classification import RegionClassifier
+from vae_channel_dynamics_tpu.intervention import InterventionHandler
+from vae_channel_dynamics_tpu.tracking import ActivityMonitor, DeadNeuronTracker
+from vae_channel_dynamics_tpu.utils import naming
+
+
+# --------------------------------------------------------------------------- #
+# DeadNeuronTracker
+# --------------------------------------------------------------------------- #
+def _dead_params():
+    """Hand-placed near-zero weights with exactly computable percentages."""
+    conv1 = np.full((3, 3, 3, 8), 0.001, np.float32)  # HWIO, 216 elements
+    conv1[0, 0, 0, 0] = 1.0
+    conv1[0, 0, 0, 1] = 1e-7
+    return {
+        "conv1": {"kernel": jnp.asarray(conv1), "bias": jnp.zeros(8)},
+        "gn1": {
+            "scale": jnp.full((8,), 1e-6),
+            "bias": jnp.full((8,), 1e-7),
+        },
+    }
+
+
+def test_dead_both_exact_percentages():
+    params = _dead_params()
+    tracker = DeadNeuronTracker(
+        target_layer_names_for_raw_weights=["gn1.weight"],
+        threshold=1e-5,
+        mean_percentage=0.1,
+        dead_type="both",
+    )
+    tracker.track_dead_neurons(params, global_step=0)
+    # conv1.weight: one element 1e-7 -> fixed True; mean ~0.00099,
+    # adaptive thr ~9.9e-5 -> True. 1/216 dead.
+    hist = tracker.percent_history["conv1.weight"]
+    assert hist[0][0] == 0
+    assert hist[0][1] == pytest.approx(100.0 / 216, rel=1e-4)
+    # gn1.weight: all 1e-6 -> fixed True, adaptive (1e-6 < 1e-7) False -> 0%
+    assert tracker.percent_history["gn1.weight"][0][1] == 0.0
+    # gn1.bias: all 1e-7 -> adaptive (1e-7 < 1e-8) False -> 0%
+    assert tracker.percent_history["gn1.bias"][0][1] == 0.0
+
+    # step 20 with clearly-alive weights
+    params["conv1"]["kernel"] = jnp.ones((3, 3, 3, 8))
+    tracker.track_dead_neurons(params, global_step=20)
+    assert tracker.percent_history["conv1.weight"][1] == (20, 0.0)
+
+    # raw snapshot: replace-not-append — exactly one entry after two tracks
+    assert len(tracker.weights_history["gn1.weight"]) == 1
+    assert tracker.weights_history["gn1.weight"][0].shape == (8,)
+
+
+def test_dead_threshold_and_percent_of_mean():
+    params = {"m": {"kernel": jnp.asarray(
+        np.array([[0.0, 1e-9, 0.5, 1.0]], np.float32).reshape(1, 1, 1, 4)
+    ), "bias": jnp.zeros(4)}}
+    t1 = DeadNeuronTracker(threshold=1e-6, dead_type="threshold")
+    t1.track_dead_neurons(params, 0)
+    assert t1.percent_history["m.weight"][0][1] == pytest.approx(50.0)
+    t2 = DeadNeuronTracker(mean_percentage=0.5, dead_type="percent_of_mean")
+    t2.track_dead_neurons(params, 0)
+    # mean|w| = 0.375; thr = 0.1875 -> two entries below -> 50%
+    assert t2.percent_history["m.weight"][0][1] == pytest.approx(50.0)
+    # all-zero special case
+    zeros = {"z": {"kernel": jnp.zeros((1, 1, 1, 4)), "bias": jnp.zeros(4)}}
+    t3 = DeadNeuronTracker(mean_percentage=0.5, dead_type="percent_of_mean")
+    t3.track_dead_neurons(zeros, 0)
+    assert t3.percent_history["z.weight"][0][1] == pytest.approx(100.0)
+
+
+def test_dead_unknown_type_noop():
+    tracker = DeadNeuronTracker(dead_type="bogus")
+    tracker.track_dead_neurons(_dead_params(), 0)
+    assert all(
+        pct == 0.0 for hist in tracker.percent_history.values() for _, pct in hist
+    )
+
+
+# --------------------------------------------------------------------------- #
+# RegionClassifier
+# --------------------------------------------------------------------------- #
+def _gn_params():
+    return {
+        "encoder": {
+            "down_blocks_0": {
+                "resnets_0": {
+                    "norm1": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+                }
+            }
+        }
+    }
+
+
+def test_classifier_thresholding():
+    clf = RegionClassifier(
+        _gn_params(),
+        {
+            "enabled": True,
+            "threshold": 0.5,
+            "target_metric_key": "mean_abs_activation_per_channel",
+            "layers_to_classify": ["vae.encoder.down_blocks.0.resnets.0.norm1.output"],
+        },
+    )
+    vals = np.array([0.1, 0.6, 0.4, 0.2, 0.8, 0.3, 0.7, 0.05])
+    tracked = {
+        "vae.encoder.down_blocks.0.resnets.0.norm1.output": {
+            "mean_abs_activation_per_channel": vals
+        }
+    }
+    res = clf.classify(tracked, 0)
+    key = "vae.encoder.down_blocks.0.resnets.0.norm1.output"
+    assert key in res
+    assert res[key]["inactive_channel_indices"] == [0, 2, 3, 5, 7]
+    assert res[key]["param_name_scale"] == (
+        "encoder.down_blocks.0.resnets.0.norm1.weight"
+    )
+    assert res[key]["threshold_value"] == 0.5
+    np.testing.assert_allclose(
+        res[key]["values_of_inactive_channels"], vals[[0, 2, 3, 5, 7]]
+    )
+
+
+def test_classifier_disabled_and_mismatch():
+    clf = RegionClassifier(_gn_params(), {"enabled": False})
+    assert clf.classify({"x": {}}, 0) == {}
+    clf2 = RegionClassifier(
+        _gn_params(), {"enabled": True, "threshold": 0.5}
+    )
+    # channel count mismatch -> skipped
+    res = clf2.classify(
+        {
+            "encoder.down_blocks.0.resnets.0.norm1.output": {
+                "mean_abs_activation_per_channel": np.zeros(4)
+            }
+        },
+        0,
+    )
+    assert res == {}
+
+
+# --------------------------------------------------------------------------- #
+# InterventionHandler
+# --------------------------------------------------------------------------- #
+def test_gentle_nudge_math():
+    params = _gn_params()
+    params = naming.set_param(
+        params,
+        "encoder.down_blocks.0.resnets.0.norm1.weight",
+        jnp.asarray([0.1, 1.0, 1.4, 0.5, 1.0, 1.0, 1.0, 1.0]),
+    )
+    handler = InterventionHandler(
+        {
+            "enabled": True,
+            "strategy": "gentle_nudge_groupnorm_scale",
+            "nudge_factor": 1.2,
+            "max_scale_value": 1.5,
+            "intervention_interval": 10,
+        }
+    )
+    results = {
+        "layer": {
+            "param_name_scale": "encoder.down_blocks.0.resnets.0.norm1.weight",
+            "inactive_channel_indices": [0, 2, 3],
+        }
+    }
+    new = handler.intervene(params, results, global_step=10)
+    gamma = np.asarray(
+        naming.get_param(new, "encoder.down_blocks.0.resnets.0.norm1.weight")
+    )
+    # min(v * 1.2, 1.5)
+    np.testing.assert_allclose(gamma[0], 0.12, rtol=1e-6)
+    np.testing.assert_allclose(gamma[2], 1.5, rtol=1e-6)  # capped: 1.68 -> 1.5
+    np.testing.assert_allclose(gamma[3], 0.6, rtol=1e-6)
+    np.testing.assert_allclose(gamma[1], 1.0)  # untouched
+    assert handler.num_nudges_applied == 3
+    # original params untouched (functional update)
+    orig = np.asarray(
+        naming.get_param(params, "encoder.down_blocks.0.resnets.0.norm1.weight")
+    )
+    assert orig[0] == pytest.approx(0.1)
+
+
+def test_reset_strategy_and_interval_gating():
+    params = _gn_params()
+    params = naming.set_param(
+        params,
+        "encoder.down_blocks.0.resnets.0.norm1.weight",
+        jnp.asarray([0.1] * 8),
+    )
+    handler = InterventionHandler(
+        {
+            "enabled": True,
+            "strategy": "reset_groupnorm_scale",
+            "intervention_interval": 10,
+        }
+    )
+    results = {
+        "layer": {
+            "param_name_scale": "encoder.down_blocks.0.resnets.0.norm1.weight",
+            "inactive_channel_indices": [1, 5],
+        }
+    }
+    # off-interval: no-op (nudger.py:94-97)
+    same = handler.intervene(params, results, global_step=7)
+    assert same is params
+    # step 0: no-op even though 0 % 10 == 0
+    same0 = handler.intervene(params, results, global_step=0)
+    assert same0 is params
+    new = handler.intervene(params, results, global_step=20)
+    gamma = np.asarray(
+        naming.get_param(new, "encoder.down_blocks.0.resnets.0.norm1.weight")
+    )
+    assert gamma[1] == 1.0 and gamma[5] == 1.0 and gamma[0] == pytest.approx(0.1)
+    # out-of-bounds index is skipped with a warning, not an error
+    handler.intervene(
+        params,
+        {"layer": {
+            "param_name_scale": "encoder.down_blocks.0.resnets.0.norm1.weight",
+            "inactive_channel_indices": [99],
+        }},
+        global_step=10,
+    )
+    assert handler.num_nudges_applied == 0
+
+
+# --------------------------------------------------------------------------- #
+# ActivityMonitor
+# --------------------------------------------------------------------------- #
+def _monitor_config():
+    return {
+        "enabled": True,
+        "track_interval": 2,
+        "target_layers": [
+            {
+                "name": "vae.encoder.conv_in",
+                "capture_point": "output",
+                "metrics": ["mean_abs_activation_per_channel", "mean_activation"],
+            },
+            {
+                "name": "vae.encoder.conv_in",
+                "capture_point": "input",
+                "metrics": ["full_activation_map"],
+            },
+        ],
+    }
+
+
+def test_monitor_capture_tables():
+    mon = ActivityMonitor(_monitor_config())
+    assert mon.scalar_capture_table == (
+        ("encoder.conv_in", "output",
+         ("mean_abs_activation_per_channel", "mean_activation")),
+    )
+    assert ("encoder.conv_in", "input", ("full_activation_map",)) in mon.map_capture_table
+    assert mon.map_keys == ("encoder.conv_in.input.full_activation_map",)
+
+
+def test_monitor_aggregation_and_records():
+    mon = ActivityMonitor(_monitor_config())
+    key_pc = "encoder.conv_in.output.mean_abs_activation_per_channel"
+    key_mean = "encoder.conv_in.output.mean_activation"
+    acc = {key_pc: jnp.zeros(4), key_mean: jnp.zeros(())}
+    # two forwards
+    acc = ActivityMonitor.accumulate(
+        acc, {key_pc: jnp.asarray([1.0, 2.0, 3.0, 4.0]), key_mean: jnp.asarray(0.5)}
+    )
+    acc = ActivityMonitor.accumulate(
+        acc, {key_pc: jnp.asarray([3.0, 4.0, 5.0, 6.0]), key_mean: jnp.asarray(1.5)}
+    )
+    maps = {
+        "encoder.conv_in.input.full_activation_map": jnp.ones((2, 3, 8, 8))
+    }
+    wandb_metrics = mon.step(2, acc, jnp.asarray(2.0), maps)
+
+    ident = "vae.encoder.conv_in.output"
+    assert wandb_metrics[
+        f"tracking/{ident}/mean_abs_activation_per_channel_overall_mean"
+    ] == pytest.approx(3.5)  # mean of [2,3,4,5]
+    assert wandb_metrics[f"tracking/{ident}/mean_activation"] == pytest.approx(1.0)
+    ident_in = "vae.encoder.conv_in.input"
+    assert wandb_metrics[
+        f"tracking/{ident_in}/full_activation_map_mean"
+    ] == pytest.approx(1.0)
+
+    data = mon.get_data_for_step(2)
+    np.testing.assert_allclose(
+        data[ident]["mean_abs_activation_per_channel"], [2, 3, 4, 5]
+    )
+    assert data[ident_in]["full_activation_map"].shape == (2, 3, 8, 8)
+
+    records = mon.export_all_processed_data_to_records()
+    types = {(r["layer_identifier"], r["metric_type"]) for r in records}
+    assert (ident, "per_channel_overall_mean") in types
+    assert (ident, "scalar") in types
+    assert (ident_in, "full_map_shape") in types
+    assert (ident_in, "full_map_max") in types
+    pc_mean = [
+        r for r in records
+        if r["layer_identifier"] == ident
+        and r["metric_type"] == "per_channel_overall_mean"
+    ][0]
+    assert pc_mean["metric_value"] == pytest.approx(3.5)
+    assert pc_mean["global_step"] == 2
+
+
+def test_monitor_disabled_is_inert():
+    mon = ActivityMonitor({"enabled": False})
+    assert mon.scalar_capture_table == ()
+    assert mon.step(10, {}, jnp.asarray(0.0)) == {}

@@ -1,0 +1,7 @@
+from .mesh import (
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,94 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for the
+reference's HF Accelerate DDP layer (SURVEY.md §2b).
+
+Where the reference spawns one process per GPU and relies on NCCL all-reduce
+inside ``accelerator.backward`` (src/train.py:120-122, :299), here a single
+SPMD program is jit-compiled over a ``jax.sharding.Mesh``: the batch is
+sharded over the ``data`` axis, parameters/optimizer state are replicated,
+and XLA inserts the gradient/metric all-reduces over ICI automatically from
+the sharding constraints. Multi-host execution uses
+``jax.distributed.initialize`` (one process per host, same program).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed() -> None:
+    """Initialize multi-host JAX when launched under a cluster environment
+    (the ``accelerate launch`` analog). Safe no-op for single-process runs."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+            jax.process_index(),
+            jax.process_count(),
+            jax.local_device_count(),
+            jax.device_count(),
+        )
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"Requested {n_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch onto the mesh, sharded along the batch axis.
+
+    The global batch size must divide the data-axis size; the trainer pads or
+    drops remainder batches before calling this.
+    """
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def pad_batch_to_multiple(
+    batch: Dict[str, np.ndarray], multiple: int
+) -> tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Pad the batch's leading axis up to a multiple of the mesh size by
+    repeating the last element; returns (padded_batch, validity mask). Keeps
+    remainder batches usable under SPMD's static-shape requirement without
+    skewing metrics (the mask weights the loss/metric averages)."""
+    n = next(iter(batch.values())).shape[0]
+    padded_n = ((n + multiple - 1) // multiple) * multiple
+    mask = np.zeros(padded_n, np.float32)
+    mask[:n] = 1.0
+    if padded_n == n:
+        return batch, mask
+    out = {}
+    for k, v in batch.items():
+        pad = np.repeat(v[-1:], padded_n - n, axis=0)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out, mask

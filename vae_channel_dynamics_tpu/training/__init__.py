@@ -1,0 +1,7 @@
+from .state import TrainState
+from .step import (
+    build_optimizer,
+    linear_warmup_decay_schedule,
+    make_eval_step,
+    make_train_step,
+)

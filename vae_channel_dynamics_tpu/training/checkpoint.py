@@ -1,0 +1,60 @@
+"""Orbax-based train-state checkpointing with resume.
+
+The reference writes ``accelerator.save_state`` checkpoints periodically and
+at the end (src/train.py:358-362, :392-416) but NEVER loads them back —
+resume does not exist there (SURVEY.md §5). Here both roles are covered:
+``save_train_state``/``restore_train_state`` persist the full state
+(params + optimizer + step + stats accumulator), and the trainer's
+``--resume_from`` picks up exactly where a run stopped."""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+STATE_SUBDIR = "state"
+
+
+def save_train_state(path: str, state: Any) -> None:
+    """Write the state pytree under ``path``/state (overwrites)."""
+    target = os.path.join(os.path.abspath(path), STATE_SUBDIR)
+    if os.path.exists(target):
+        import shutil
+
+        shutil.rmtree(target)
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(target, jax.device_get(state))
+    logger.info("Saved train state to %s", target)
+
+
+def restore_train_state(path: str, template: Any) -> Any:
+    """Restore a state pytree shaped like ``template`` from ``path``."""
+    target = os.path.join(os.path.abspath(path), STATE_SUBDIR)
+    if not os.path.isdir(target):
+        raise FileNotFoundError(f"No checkpoint state at {target}")
+    with ocp.StandardCheckpointer() as ck:
+        restored = ck.restore(target, jax.device_get(template))
+    logger.info("Restored train state from %s", target)
+    return restored
+
+
+def latest_checkpoint(output_dir: str, prefix: str = "chkpt") -> Optional[str]:
+    """Find the highest-step ``<prefix>-<step>`` checkpoint dir in a run."""
+    if not os.path.isdir(output_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(output_dir):
+        if not name.startswith(prefix + "-"):
+            continue
+        suffix = name.rsplit("-", 1)[-1]
+        if suffix.isdigit() and int(suffix) > best_step:
+            candidate = os.path.join(output_dir, name)
+            if os.path.isdir(os.path.join(candidate, STATE_SUBDIR)):
+                best, best_step = candidate, int(suffix)
+    return best

@@ -1,0 +1,622 @@
+"""Training orchestration: the reference's ``train.main()`` loop
+(src/train.py:100-464) rebuilt around a jitted SPMD step.
+
+Differences from the reference, by design:
+- one process drives all local devices (SPMD) instead of process-per-GPU;
+  gradient/metric reductions come from sharding propagation
+- activation statistics accumulate on device in the train state; host only
+  sees them at track intervals (no per-step syncs)
+- interventions are pure functional parameter updates applied identically on
+  every shard (fixes the reference's main-process-only desync,
+  SURVEY.md §5a-11)
+- metrics are fetched lazily (log/epoch boundaries) to keep dispatch async
+- checkpoints can be resumed (the reference writes but never reads them)
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..analysis import VAELogitLens
+from ..classification import RegionClassifier
+from ..data import create_dataloader, load_and_preprocess_dataset
+from ..intervention import InterventionHandler
+from ..models import SDXLVAEWrapper, VAEConfig
+from ..models import io as model_io
+from ..models.vae import AutoencoderKL
+from ..parallel import make_mesh, replicated_sharding
+from ..parallel.mesh import initialize_distributed, pad_batch_to_multiple
+from ..tracking import ActivityMonitor, DeadNeuronTracker
+from ..utils.config_utils import as_float, as_int
+from ..utils.plotting import ActivityPlotter, DeadNeuronPlotter, plot_dead_vs_nudge
+from ..utils.reporting import build_reporter
+from .checkpoint import restore_train_state, save_train_state
+from .state import TrainState
+from .step import build_optimizer, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
+    """Resolve ``model.pretrained_vae_name``: a local model dir is loaded
+    (the evaluate-CLI artifact or a converted diffusers checkpoint); an
+    unreachable HF Hub id falls back to seeded from-scratch init with a
+    warning (this environment has no network egress)."""
+    name = model_config.get("pretrained_vae_name", "stabilityai/sdxl-vae")
+    arch = model_config.get("architecture", "sdxl")
+    if name and os.path.isdir(name) and os.path.exists(
+        os.path.join(name, "config.json")
+    ):
+        cfg, params = model_io.load_model_dir(name)
+        logger.info("Loaded VAE weights from local dir: %s", name)
+        return SDXLVAEWrapper(config=cfg, params=params, dtype=dtype)
+    cfg = VAEConfig.tiny() if arch == "tiny" else VAEConfig.sdxl()
+    if name and not os.path.isdir(name):
+        logger.warning(
+            "Pretrained VAE '%s' is not a local directory and the HF Hub is "
+            "unreachable here; initializing the %s architecture from scratch.",
+            name, arch,
+        )
+    return SDXLVAEWrapper(
+        config=cfg, dtype=dtype, seed=int(model_config.get("init_seed", 0))
+    )
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any], resume_from: Optional[str] = None):
+        self.config = config
+        self.resume_from = resume_from
+
+        self.run_name = config.get("run_name", "vae_run")
+        self.output_dir = os.path.join(
+            config.get("output_dir", "./results"), self.run_name
+        )
+        self.logging_dir = os.path.join(self.output_dir, "logs")
+
+        self.data_config = config.get("data", {})
+        self.training_config = config.get("training", {})
+        self.logging_config = config.get("logging", {})
+        self.saving_config = config.get("saving", {})
+
+        # dead-weight knobs live at the TOP level (quirk SURVEY.md §5a-2)
+        self.threshold_dn = as_float(config.get("threshold"), 1e-8)
+        self.mean_percentage_dn = as_float(config.get("mean_percentage"), 0.01)
+        self.dead_type_dn = config.get("dead_type", "threshold")
+
+        self.kl_weight = as_float(self.training_config.get("kl_weight"), 1e-6)
+        self.mixed_precision = self.training_config.get("mixed_precision", "no")
+
+    # ------------------------------------------------------------------ #
+    def train(self) -> Dict[str, Any]:
+        config = self.config
+        initialize_distributed()
+        is_main = jax.process_index() == 0
+        mesh = make_mesh()
+        n_shards = mesh.devices.size
+        logger.info(
+            "Running experiment: %s on %d device(s) [%s]",
+            self.run_name, n_shards, jax.devices()[0].platform,
+        )
+
+        if is_main:
+            os.makedirs(self.output_dir, exist_ok=True)
+            with open(os.path.join(self.output_dir, "config.yaml"), "w") as f:
+                yaml.dump(config, f, default_flow_style=False)
+
+        seed = as_int(config.get("seed"), 0)
+        base_rng = jax.random.PRNGKey(seed)
+
+        report_to = self.logging_config.get("report_to", "tensorboard")
+        reporter = build_reporter(
+            report_to, self.output_dir, self.logging_dir,
+            config.get("project_name", "vae_project"), self.run_name,
+            config=config, entity=self.logging_config.get("entity"),
+            is_main_process=is_main,
+        )
+
+        # ---------------- model ---------------- #
+        if self.mixed_precision == "bf16":
+            dtype = jnp.bfloat16
+        elif self.mixed_precision == "fp16":
+            logger.warning("fp16 is not native on TPU; using bfloat16 compute.")
+            dtype = jnp.bfloat16
+        else:
+            dtype = jnp.float32
+        wrapper = resolve_model(config.get("model", {}), dtype)
+        vae_config = wrapper.config
+        params = wrapper.params
+
+        # ---------------- data ---------------- #
+        dc = self.data_config
+        resolution = as_int(dc.get("resolution"), 256)
+        per_device_batch = as_int(dc.get("batch_size"), 4)
+        global_batch = per_device_batch * n_shards
+        train_dataset = load_and_preprocess_dataset(
+            dataset_name=dc.get("dataset_name"),
+            dataset_config_name=dc.get("dataset_config_name"),
+            image_column=dc.get("image_column", "image"),
+            resolution=resolution,
+            max_samples=dc.get("max_samples"),
+            split=dc.get("train_split_name", "train"),
+            seed=seed,
+        )
+        train_loader = create_dataloader(
+            train_dataset, batch_size=global_batch,
+            num_workers=as_int(dc.get("num_workers"), 0), shuffle=True,
+            seed=seed,
+        )
+        val_loader = None
+        do_validation = bool(dc.get("do_validation", False))
+        if do_validation:
+            try:
+                val_dataset = load_and_preprocess_dataset(
+                    dataset_name=dc.get(
+                        "validation_dataset_name", dc.get("dataset_name")
+                    ),
+                    dataset_config_name=dc.get(
+                        "validation_dataset_config_name",
+                        dc.get("dataset_config_name"),
+                    ),
+                    image_column=dc.get("image_column", "image"),
+                    resolution=resolution,
+                    max_samples=dc.get("validation_max_samples"),
+                    split=dc.get("validation_split_name", "validation"),
+                    seed=seed,
+                )
+                val_loader = create_dataloader(
+                    val_dataset,
+                    batch_size=as_int(
+                        dc.get("validation_batch_size"), per_device_batch
+                    ) * n_shards,
+                    num_workers=as_int(dc.get("num_workers"), 0),
+                    shuffle=False,
+                    seed=seed,
+                )
+            except Exception as e:  # noqa: BLE001 — parity: disable on failure
+                logger.error(
+                    "Failed to load validation data: %s. Disabling validation.", e
+                )
+                do_validation = False
+
+        # ---------------- schedule / optimizer ---------------- #
+        tc = self.training_config
+        accum = as_int(tc.get("gradient_accumulation_steps"), 1)
+        num_samples = len(train_dataset)
+        steps_per_epoch = max(
+            1, math.ceil(num_samples / global_batch / accum)
+        )
+        num_train_epochs = as_int(tc.get("num_train_epochs"), 1)
+        max_train_steps = num_train_epochs * steps_per_epoch
+        tx, schedule = build_optimizer(
+            learning_rate=as_float(tc.get("learning_rate"), 1e-5),
+            warmup_steps=as_int(tc.get("lr_warmup_steps"), 100),
+            max_train_steps=max_train_steps,
+            adam_beta1=as_float(tc.get("adam_beta1"), 0.9),
+            adam_beta2=as_float(tc.get("adam_beta2"), 0.999),
+            adam_weight_decay=as_float(tc.get("adam_weight_decay"), 1e-2),
+            adam_epsilon=as_float(tc.get("adam_epsilon"), 1e-8),
+            max_grad_norm=as_float(tc.get("max_grad_norm"), 1.0),
+            gradient_accumulation_steps=accum,
+        )
+
+        # ---------------- instrumentation ---------------- #
+        monitor = ActivityMonitor(config.get("tracking", {}))
+        track_interval = monitor.track_interval if monitor.enabled else 0
+
+        dnt_config = config.get("dead_neuron_tracking", {})
+        dead_tracker = None
+        dnt_interval = 0
+        if dnt_config.get("enabled", False):
+            dead_tracker = DeadNeuronTracker(
+                target_layer_names_for_raw_weights=dnt_config.get(
+                    "target_layer_names_for_raw_weights", []
+                ),
+                threshold=self.threshold_dn,
+                mean_percentage=self.mean_percentage_dn,
+                dead_type=self.dead_type_dn,
+            )
+            dnt_interval = as_int(dnt_config.get("track_interval"), 100)
+
+        classifier_config = config.get("classification", {})
+        classifier = (
+            RegionClassifier(params, classifier_config)
+            if classifier_config.get("enabled", False)
+            else None
+        )
+
+        intervention_config = config.get("intervention", {})
+        handler = (
+            InterventionHandler(intervention_config)
+            if intervention_config.get("enabled", False)
+            else None
+        )
+        intervention_interval = as_int(
+            intervention_config.get("intervention_interval"), 200
+        )
+
+        ll_config = config.get("logit_lens", {})
+        logit_lens = None
+        ll_interval = 0
+        if ll_config.get("enabled", False) and is_main:
+            logit_lens = VAELogitLens(
+                logit_lens_config=ll_config,
+                main_experiment_output_dir=self.output_dir,
+                seed=seed,
+            )
+            ll_interval = as_int(ll_config.get("visualization_interval"), 1000)
+
+        # ---------------- jitted steps ---------------- #
+        module_plain = AutoencoderKL(
+            config=vae_config, dtype=dtype,
+            capture=monitor.scalar_capture_table,
+        )
+        batch_shape = (global_batch, resolution, resolution, vae_config.in_channels)
+        stats_acc = monitor.init_acc(module_plain, params, batch_shape)
+
+        state = TrainState.create(params, tx, stats_acc=stats_acc)
+        if self.resume_from:
+            state = restore_train_state(self.resume_from, state)
+            logger.info("Resumed from %s at step %d", self.resume_from, int(state.step))
+        repl = replicated_sharding(mesh)
+        state = jax.device_put(state, repl)
+
+        step_plain = make_train_step(
+            module_plain, tx, self.kl_weight, mesh=mesh,
+            stats_accumulate=ActivityMonitor.accumulate,
+        )
+        step_maps = None
+        if monitor.enabled and monitor.map_keys:
+            module_maps = AutoencoderKL(
+                config=vae_config, dtype=dtype,
+                capture=monitor.map_capture_table,
+            )
+            step_maps = make_train_step(
+                module_maps, tx, self.kl_weight, mesh=mesh,
+                stats_accumulate=ActivityMonitor.accumulate,
+                map_keys=monitor.map_keys,
+            )
+        eval_step = make_eval_step(module_plain, mesh=mesh) if do_validation else None
+
+        # ---------------- intervals ---------------- #
+        log_interval = as_int(self.logging_config.get("log_interval"), 10)
+        save_interval_steps = as_int(
+            self.saving_config.get("save_interval_steps"), 500
+        )
+        checkpoint_prefix = self.saving_config.get("checkpoint_dir_prefix", "chkpt")
+        validation_epochs = as_int(tc.get("validation_epochs"), 0)
+        validation_steps = as_int(tc.get("validation_steps"), 0)
+
+        # ---------------- loop ---------------- #
+        logger.info(
+            "***** Running training: %d epochs, %d steps/epoch, "
+            "global batch %d *****",
+            num_train_epochs, steps_per_epoch, global_batch,
+        )
+        global_step = int(jax.device_get(state.step)) // max(accum, 1)
+        micro_step = int(jax.device_get(state.step))
+        t_start = time.time()
+        images_seen = 0
+        last_metrics = None
+        classification_output: Dict[str, Any] = {}
+
+        for epoch in range(num_train_epochs):
+            epoch_metrics = []
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                if batch is None:
+                    continue
+                pixels = batch["pixel_values"]
+                if pixels.ndim != 4 or pixels.shape[0] == 0:
+                    continue
+                padded, mask = pad_batch_to_multiple(
+                    {"pixel_values": pixels}, n_shards
+                )
+                images_seen += int(mask.sum())
+
+                micro_step += 1
+                is_update = micro_step % accum == 0
+                next_global = global_step + 1 if is_update else global_step
+                want_maps = (
+                    step_maps is not None
+                    and is_update
+                    and track_interval > 0
+                    and next_global % track_interval == 0
+                )
+                fn = step_maps if want_maps else step_plain
+                state, metrics, maps = fn(state, padded, mask, base_rng)
+                last_metrics = metrics
+                epoch_metrics.append(metrics)
+
+                if not is_update:
+                    continue
+                global_step = next_global
+
+                # --- monitor aggregation (train.py:308-309 analog) ---
+                activity_metrics: Dict[str, float] = {}
+                if monitor.enabled and track_interval > 0 and (
+                    global_step % track_interval == 0
+                ):
+                    activity_metrics = monitor.step(
+                        global_step, state.stats_acc, state.stats_count, maps
+                    )
+                    state = state.reset_stats()
+
+                    # --- classification (train.py:311-314) ---
+                    if classifier is not None:
+                        tracked = monitor.get_data_for_step(global_step)
+                        classification_output = (
+                            classifier.classify(tracked, global_step)
+                            if tracked else {}
+                        )
+                        if not classification_output:
+                            logger.info(
+                                "Step %d: Classifier found no inactive channels.",
+                                global_step,
+                            )
+
+                # --- intervention (train.py:315-328) ---
+                if handler is not None and global_step % intervention_interval == 0:
+                    if classification_output:
+                        new_params = handler.intervene(
+                            state.params, classification_output, global_step
+                        )
+                        if handler.num_nudges_applied > 0:
+                            state = state.replace(params=new_params)
+                        inactive_total = sum(
+                            len(v["inactive_channel_indices"])
+                            for v in classification_output.values()
+                        )
+                        reporter.log(
+                            {
+                                "inactive_channels": inactive_total,
+                                "nudged_scales": handler.num_nudges_applied,
+                            },
+                            global_step,
+                        )
+                        if is_main:
+                            with open(
+                                os.path.join(
+                                    self.output_dir, "intervention_history.csv"
+                                ),
+                                "a",
+                            ) as fh:
+                                fh.write(
+                                    f"{global_step},{inactive_total},"
+                                    f"{handler.num_nudges_applied}\n"
+                                )
+                    else:
+                        logger.info(
+                            "Step %d: Intervention due, but no regions classified.",
+                            global_step,
+                        )
+
+                # --- logging (train.py:331-338) ---
+                if global_step % log_interval == 0 and is_main:
+                    host_metrics = jax.device_get(metrics)
+                    logs = {
+                        "train_loss_step": float(host_metrics["train_loss_step"]),
+                        "rec_loss": float(host_metrics["rec_loss"]),
+                        "kl_loss": float(host_metrics["kl_loss"]),
+                        "grad_norm": float(host_metrics["grad_norm"]),
+                        "lr": float(schedule(global_step)),
+                        "epoch_current": epoch,
+                        **activity_metrics,
+                    }
+                    reporter.log(logs, global_step)
+                    logger.info(
+                        "step %d loss %.4e lr %.3e (%.1f img/s)",
+                        global_step, logs["train_loss_step"], logs["lr"],
+                        images_seen / max(time.time() - t_start, 1e-6),
+                    )
+
+                # --- logit lens (train.py:339-353) ---
+                if logit_lens is not None and ll_interval > 0 and (
+                    global_step % ll_interval == 0
+                ):
+                    current = monitor.get_data_for_step(global_step)
+                    if current:
+                        logit_lens.run_logit_lens_with_activations(
+                            global_step=global_step,
+                            activations_to_process=current,
+                            # empty layers_to_analyze_direct falls through to
+                            # target_tracked_metrics (the reference treats []
+                            # as present and silently does nothing — §5a-6)
+                            layers_to_analyze=(
+                                ll_config.get("layers_to_analyze_direct")
+                                or ll_config.get("target_tracked_metrics", [])
+                            ),
+                            num_batch_samples_to_viz=ll_config.get(
+                                "num_batch_samples_to_viz", 1
+                            ),
+                            projection_type=ll_config.get(
+                                "projection_type", "mini_decoder_single_channel"
+                            ),
+                        )
+                    else:
+                        logger.warning(
+                            "LogitLens: No activation data for step %d.", global_step
+                        )
+
+                # --- dead-weight tracking (train.py:355-356) ---
+                if dead_tracker is not None and dnt_interval > 0 and (
+                    global_step % dnt_interval == 0
+                ):
+                    dead_tracker.track_dead_neurons(state.params, global_step)
+
+                # --- periodic checkpoint (train.py:358-362) ---
+                if global_step % save_interval_steps == 0 and is_main:
+                    save_train_state(
+                        os.path.join(
+                            self.output_dir, f"{checkpoint_prefix}-{global_step}"
+                        ),
+                        state,
+                    )
+
+                # --- step-interval validation (train.py:366-369) ---
+                if (
+                    do_validation
+                    and val_loader is not None
+                    and validation_steps > 0
+                    and global_step % validation_steps == 0
+                ):
+                    self._run_validation(
+                        eval_step, state, val_loader, n_shards,
+                        global_step, reporter,
+                    )
+
+                if global_step >= max_train_steps:
+                    break
+
+            # --- epoch summary (train.py:371-381) ---
+            if epoch_metrics and is_main:
+                host = jax.device_get(epoch_metrics)
+                reporter.log(
+                    {
+                        "train/epoch_avg_loss": float(
+                            np.mean([m["train_loss_step"] for m in host])
+                        ),
+                        "train/epoch_avg_rec_loss": float(
+                            np.mean([m["rec_loss"] for m in host])
+                        ),
+                        "train/epoch_avg_kl_loss": float(
+                            np.mean([m["kl_loss"] for m in host])
+                        ),
+                        "epoch_completed": epoch,
+                    },
+                    global_step,
+                )
+            logger.info("Epoch %d completed.", epoch)
+
+            # --- epoch-interval validation (train.py:382-385) ---
+            if (
+                do_validation
+                and val_loader is not None
+                and validation_epochs > 0
+                and (epoch + 1) % validation_epochs == 0
+                and validation_steps <= 0
+            ):
+                self._run_validation(
+                    eval_step, state, val_loader, n_shards, global_step, reporter
+                )
+            if global_step >= max_train_steps:
+                logger.info("Reached max_train_steps.")
+                break
+
+        elapsed = time.time() - t_start
+        logger.info(
+            "Training finished: %d steps, %d images in %.1fs (%.1f img/s)",
+            global_step, images_seen, elapsed, images_seen / max(elapsed, 1e-6),
+        )
+
+        summary = self._finalize(
+            state, vae_config, monitor, dead_tracker, handler,
+            is_main, reporter,
+        )
+        summary.update(
+            global_step=global_step,
+            images_per_sec=images_seen / max(elapsed, 1e-6),
+            images_seen=images_seen,
+        )
+        return summary
+
+    # ------------------------------------------------------------------ #
+    def _run_validation(
+        self, eval_step, state, val_loader, n_shards, global_step, reporter
+    ) -> Dict[str, float]:
+        """SUM-convention validation (src/train.py:53-97)."""
+        logger.info("--- Running Validation for Global Step: %d ---", global_step)
+        rec_sum = kl_sum = n = 0.0
+        for batch in val_loader:
+            if batch is None:
+                continue
+            padded, mask = pad_batch_to_multiple(batch, n_shards)
+            out = eval_step(state.params, padded, mask)
+            host = jax.device_get(
+                {k: out[k] for k in ("rec_loss_sum", "kl_sum", "num_samples")}
+            )
+            rec_sum += float(host["rec_loss_sum"])
+            kl_sum += float(host["kl_sum"])
+            n += float(host["num_samples"])
+        avg_rec = rec_sum / n if n else 0.0
+        avg_kl = kl_sum / n if n else 0.0
+        avg_total = avg_rec + self.kl_weight * avg_kl
+        metrics = {
+            "validation/avg_total_loss": avg_total,
+            "validation/avg_reconstruction_loss": avg_rec,
+            "validation/avg_kl_divergence": avg_kl,
+        }
+        reporter.log(metrics, global_step)
+        logger.info(
+            "Validation: total %.4e rec %.4e kl %.4e (%d samples)",
+            avg_total, avg_rec, avg_kl, int(n),
+        )
+        return metrics
+
+    # ------------------------------------------------------------------ #
+    def _finalize(
+        self, state, vae_config, monitor, dead_tracker, handler,
+        is_main, reporter,
+    ) -> Dict[str, Any]:
+        """Final artifacts (src/train.py:392-461): final_model/ (resumable
+        state) + final_model/vae/ (the dir evaluate loads), activation-stats
+        CSV, dead-weight plots, activity plots, dead-vs-nudge plot."""
+        summary: Dict[str, Any] = {}
+        if not is_main:
+            return summary
+        final_dir = os.path.join(self.output_dir, "final_model")
+        os.makedirs(final_dir, exist_ok=True)
+        save_train_state(final_dir, state)
+        vae_dir = os.path.join(final_dir, "vae")
+        model_io.save_model_dir(
+            vae_dir, vae_config, jax.device_get(state.params)
+        )
+        logger.info("Final VAE saved to %s", vae_dir)
+        summary["final_model_dir"] = final_dir
+
+        activity_csv = None
+        if monitor.enabled:
+            records = monitor.export_all_processed_data_to_records()
+            if records:
+                import pandas as pd
+
+                activity_csv = os.path.join(
+                    self.output_dir, "tracked_activation_stats.csv"
+                )
+                pd.DataFrame(records).to_csv(activity_csv, index=False)
+                logger.info("Saved activation stats to %s", activity_csv)
+                summary["activity_csv"] = activity_csv
+
+        if dead_tracker is not None:
+            DeadNeuronPlotter(
+                threshold=self.threshold_dn, output_dir=self.output_dir
+            ).plot_all(
+                percent_history=dead_tracker.percent_history,
+                weights_history=dead_tracker.weights_history,
+            )
+
+        if activity_csv and os.path.exists(activity_csv):
+            ActivityPlotter(
+                output_dir=os.path.join(self.output_dir, "activity_plots")
+            ).plot_activation_stats_evolution(
+                csv_path=activity_csv,
+                target_metric_substring="mean_abs_activation_per_channel",
+                target_metric_type="per_channel_overall_mean",
+            )
+
+        if handler is not None and handler.num_nudges_applied > 0:
+            plot_dead_vs_nudge(
+                csv_path=os.path.join(self.output_dir, "intervention_history.csv"),
+                out_png=os.path.join(self.output_dir, "dead_vs_nudge.png"),
+                nudge_factor=handler.nudge_factor,
+            )
+        reporter.finish()
+        return summary

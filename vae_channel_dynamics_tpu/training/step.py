@@ -1,0 +1,227 @@
+"""Jitted train/eval steps: the SPMD replacement for the reference's
+forward/backward/step hot loop (src/train.py:283-306).
+
+One compiled program runs on every device; the batch is sharded over the
+mesh's ``data`` axis and parameters are replicated, so XLA derives the
+gradient all-reduce (the ``accelerator.backward`` NCCL all-reduce analog)
+and global metric means (the ``accelerator.gather(...).mean()`` analog,
+src/train.py:292-294) from sharding propagation — no explicit collectives.
+
+Loss contract (src/train.py:289-291): per-element-mean MSE on float32 casts
++ kl_weight * mean per-sample KL. Padded remainder batches are handled with
+a validity mask so static shapes hold without skewing metrics.
+
+Validation contract (src/train.py:53-97): SUM-reduction MSE and summed KL,
+both divided by the global sample count on the host side.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.vae import flatten_stats
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .state import TrainState
+
+
+def linear_warmup_decay_schedule(
+    base_lr: float, warmup_steps: int, max_train_steps: int
+) -> Callable[[jax.Array], jax.Array]:
+    """Linear warmup then linear decay to zero — the reference's LambdaLR
+    (src/train.py:197-202). Note: the reference reads ``lr_scheduler_type``
+    into config but always uses this schedule (quirk SURVEY.md §5a-1);
+    fidelity is preserved here."""
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        warm = count / jnp.maximum(1.0, float(warmup_steps))
+        progress = (count - warmup_steps) / jnp.maximum(
+            1.0, float(max_train_steps - warmup_steps)
+        )
+        decay = jnp.maximum(0.0, 1.0 - jnp.minimum(1.0, progress))
+        return base_lr * jnp.where(count < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def build_optimizer(
+    learning_rate: float,
+    warmup_steps: int,
+    max_train_steps: int,
+    adam_beta1: float = 0.9,
+    adam_beta2: float = 0.999,
+    adam_weight_decay: float = 1e-2,
+    adam_epsilon: float = 1e-8,
+    max_grad_norm: float = 1.0,
+    gradient_accumulation_steps: int = 1,
+) -> Tuple[optax.GradientTransformation, Callable]:
+    """AdamW + global-norm clipping + linear warmup/decay, with optional
+    gradient accumulation (optax.MultiSteps replaces the reference's
+    ``accelerator.accumulate`` context, src/train.py:286)."""
+    schedule = linear_warmup_decay_schedule(
+        learning_rate, warmup_steps, max_train_steps
+    )
+    components = []
+    if max_grad_norm and max_grad_norm > 0:
+        components.append(optax.clip_by_global_norm(max_grad_norm))
+    components.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=adam_beta1,
+            b2=adam_beta2,
+            eps=adam_epsilon,
+            weight_decay=adam_weight_decay,
+        )
+    )
+    tx = optax.chain(*components)
+    if gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+    return tx, schedule
+
+
+def _masked_mean(per_sample: jax.Array, mask: jax.Array) -> jax.Array:
+    return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _forward_with_stats(module, params, pixel_values, rng, sample_posterior):
+    out, mutated = module.apply(
+        {"params": params},
+        pixel_values,
+        sample_posterior=sample_posterior,
+        rng=rng,
+        mutable=["stats"],
+    )
+    return out, flatten_stats(mutated.get("stats", {}))
+
+
+def _losses(out, pixel_values, mask):
+    recon = out["reconstruction"].astype(jnp.float32)
+    pixels = pixel_values.astype(jnp.float32)
+    # per-sample mean squared error over pixel dims
+    sq = jnp.mean(jnp.square(recon - pixels), axis=tuple(range(1, recon.ndim)))
+    rec_loss = _masked_mean(sq, mask)
+    kl_loss = _masked_mean(out["latent_dist"].kl(), mask)
+    return rec_loss, kl_loss
+
+
+def default_stats_accumulate(
+    acc: Dict[str, jax.Array], stats: Dict[str, jax.Array]
+) -> Dict[str, jax.Array]:
+    """Running-sum accumulation of per-forward statistics; the interval mean
+    (sum / count) reproduces the reference's mean-of-stacked-values
+    aggregation (src/tracking/monitor.py:179-186)."""
+    return {k: acc[k] + stats[k] for k in acc} if acc else {}
+
+
+def make_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    kl_weight: float,
+    mesh=None,
+    stats_accumulate: Optional[Callable] = None,
+    map_keys: Tuple[str, ...] = (),
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returns ``step_fn(state, batch, mask, rng) -> (state, metrics, maps)``.
+    ``maps`` carries full activation maps for ``map_keys`` (captured by the
+    module's capture table) — only materialized when the monitor's track
+    interval is due; the plain step variant is built with a capture table
+    that omits them.
+    """
+    accumulate = stats_accumulate or default_stats_accumulate
+
+    def step_fn(state: TrainState, batch, mask, rng):
+        rng_step = jax.random.fold_in(rng, state.step)
+        pixel_values = batch["pixel_values"]
+
+        def loss_fn(params):
+            out, stats = _forward_with_stats(
+                module, params, pixel_values, rng_step, True
+            )
+            rec_loss, kl_loss = _losses(out, pixel_values, mask)
+            loss = rec_loss + kl_weight * kl_loss
+            return loss, (rec_loss, kl_loss, stats)
+
+        (loss, (rec_loss, kl_loss, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        maps = {k: stats[k] for k in map_keys if k in stats}
+        scalar_stats = {k: v for k, v in stats.items() if k not in maps}
+        new_acc = accumulate(state.stats_acc, scalar_stats)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            stats_acc=new_acc,
+            stats_count=state.stats_count + 1.0,
+        )
+        metrics = {
+            "train_loss_step": loss,
+            "rec_loss": rec_loss,
+            "kl_loss": kl_loss,
+            "grad_norm": grad_norm,
+        }
+        return new_state, metrics, maps
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, {"pixel_values": data}, data, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(module, mesh=None):
+    """Deterministic (mode) forward returning SUM-convention losses for
+    validation (src/train.py:77-78) plus the per-element-mean MSE used by
+    evaluate.py (src/evaluate.py:231-240)."""
+
+    def eval_fn(params, batch, mask):
+        pixel_values = batch["pixel_values"]
+        out, _ = _forward_with_stats(module, params, pixel_values, None, False)
+        recon = out["reconstruction"].astype(jnp.float32)
+        pixels = pixel_values.astype(jnp.float32)
+        per_sample_sq_sum = jnp.sum(
+            jnp.square(recon - pixels), axis=tuple(range(1, recon.ndim))
+        )
+        kl = out["latent_dist"].kl()
+        n_pixel_dims = recon.size // recon.shape[0]
+        return {
+            "rec_loss_sum": jnp.sum(per_sample_sq_sum * mask),
+            "kl_sum": jnp.sum(kl * mask),
+            "mse_mean_weighted": jnp.sum(per_sample_sq_sum * mask) / n_pixel_dims,
+            "num_samples": jnp.sum(mask),
+            "reconstruction": out["reconstruction"],
+        }
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        eval_fn,
+        in_shardings=(repl, {"pixel_values": data}, data),
+        out_shardings={
+            "rec_loss_sum": repl,
+            "kl_sum": repl,
+            "mse_mean_weighted": repl,
+            "num_samples": repl,
+            "reconstruction": data,
+        },
+    )
