@@ -396,6 +396,7 @@ class Upsample2D(TapModule):
 class DownEncoderBlock2D(TapModule):
     in_channels: int = 0
     out_channels: int = 0
+    remat: bool = False
     num_layers: int = 2
     add_downsample: bool = True
     num_groups: int = 32
@@ -407,8 +408,9 @@ class DownEncoderBlock2D(TapModule):
 
     def setup(self):
         fn = self.full_name
+        resnet_cls = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
         self.resnets = [
-            ResnetBlock2D(
+            resnet_cls(
                 in_channels=self.in_channels if j == 0 else self.out_channels,
                 out_channels=self.out_channels,
                 num_groups=self.num_groups,
@@ -441,6 +443,7 @@ class DownEncoderBlock2D(TapModule):
 class UpDecoderBlock2D(TapModule):
     in_channels: int = 0
     out_channels: int = 0
+    remat: bool = False
     num_layers: int = 3
     add_upsample: bool = True
     num_groups: int = 32
@@ -452,8 +455,9 @@ class UpDecoderBlock2D(TapModule):
 
     def setup(self):
         fn = self.full_name
+        resnet_cls = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
         self.resnets = [
-            ResnetBlock2D(
+            resnet_cls(
                 in_channels=self.in_channels if j == 0 else self.out_channels,
                 out_channels=self.out_channels,
                 num_groups=self.num_groups,
@@ -485,6 +489,7 @@ class UpDecoderBlock2D(TapModule):
 
 class UNetMidBlock2D(TapModule):
     channels: int = 0
+    remat: bool = False
     num_groups: int = 32
     eps: float = 1e-6
     use_attention: bool = True
@@ -495,12 +500,13 @@ class UNetMidBlock2D(TapModule):
 
     def setup(self):
         fn = self.full_name
+        resnet_cls = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
         common = dict(
             num_groups=self.num_groups, eps=self.eps, dtype=self.dtype,
             impl=self.impl, capture=self.capture,
         )
         self.resnets = [
-            ResnetBlock2D(
+            resnet_cls(
                 in_channels=self.channels,
                 out_channels=self.channels,
                 full_name=f"{fn}.resnets.{j}",
@@ -529,6 +535,7 @@ class Encoder(TapModule):
     config: VAEConfig = VAEConfig()
     dtype: Any = jnp.float32
     impl: str = "auto"
+    remat: bool = False
     full_name: str = "encoder"
     capture: CaptureTable = ()
 
@@ -547,6 +554,7 @@ class Encoder(TapModule):
                 DownEncoderBlock2D(
                     in_channels=in_ch,
                     out_channels=out_ch,
+                    remat=self.remat,
                     num_layers=cfg.layers_per_block,
                     add_downsample=i < len(boc) - 1,
                     num_groups=cfg.norm_num_groups,
@@ -560,6 +568,7 @@ class Encoder(TapModule):
         self.down_blocks = blocks
         self.mid_block = UNetMidBlock2D(
             channels=boc[-1],
+            remat=self.remat,
             num_groups=cfg.norm_num_groups,
             eps=cfg.norm_eps,
             use_attention=cfg.mid_block_attention,
@@ -596,6 +605,7 @@ class Decoder(TapModule):
     config: VAEConfig = VAEConfig()
     dtype: Any = jnp.float32
     impl: str = "auto"
+    remat: bool = False
     full_name: str = "decoder"
     capture: CaptureTable = ()
 
@@ -609,6 +619,7 @@ class Decoder(TapModule):
         )
         self.mid_block = UNetMidBlock2D(
             channels=reversed_boc[0],
+            remat=self.remat,
             num_groups=cfg.norm_num_groups,
             eps=cfg.norm_eps,
             use_attention=cfg.mid_block_attention,
@@ -624,6 +635,7 @@ class Decoder(TapModule):
                 UpDecoderBlock2D(
                     in_channels=in_ch,
                     out_channels=out_ch,
+                    remat=self.remat,
                     num_layers=cfg.layers_per_block + 1,
                     add_upsample=i < len(reversed_boc) - 1,
                     num_groups=cfg.norm_num_groups,
@@ -667,16 +679,17 @@ class AutoencoderKL(nn.Module):
     config: VAEConfig = VAEConfig()
     dtype: Any = jnp.float32
     impl: str = "auto"
+    remat: bool = False
     capture: CaptureTable = ()
 
     def setup(self):
         cfg = self.config
         self.encoder = Encoder(
-            config=cfg, dtype=self.dtype, impl=self.impl,
+            config=cfg, dtype=self.dtype, impl=self.impl, remat=self.remat,
             full_name="encoder", capture=self.capture,
         )
         self.decoder = Decoder(
-            config=cfg, dtype=self.dtype, impl=self.impl,
+            config=cfg, dtype=self.dtype, impl=self.impl, remat=self.remat,
             full_name="decoder", capture=self.capture,
         )
         self.quant_conv = VConv(
