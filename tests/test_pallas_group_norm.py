@@ -1,0 +1,89 @@
+"""Pallas fused GroupNorm(+SiLU): forward and gradient parity vs XLA path.
+
+Runs in interpreter mode on CPU; the same kernels compile natively on TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_channel_dynamics_tpu.ops.group_norm import _group_norm_xla
+from vae_channel_dynamics_tpu.ops.pallas_group_norm import (
+    eligible,
+    group_norm_silu,
+)
+
+B, H, W, C, G = 2, 8, 16, 128, 32
+
+
+@pytest.fixture(scope="module")
+def data():
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    x = jax.random.normal(k1, (B, H, W, C), jnp.float32) * 2.0 + 0.5
+    scale = jax.random.normal(k2, (C,)) * 0.5 + 1.0
+    bias = jax.random.normal(k3, (C,)) * 0.2
+    return x, scale, bias
+
+
+def test_eligibility():
+    x = jnp.zeros((2, 8, 16, 128))
+    assert eligible(x, 32, "pallas")
+    assert not eligible(jnp.zeros((2, 8, 16, 64)), 32, "pallas")  # C not lane-aligned
+    assert not eligible(jnp.zeros((2, 8, 16)), 32, "pallas")  # not 4D
+
+
+@pytest.mark.parametrize("fuse_silu", [False, True])
+def test_forward_matches_xla(data, fuse_silu):
+    x, scale, bias = data
+    ref = _group_norm_xla(x, scale, bias, G, 1e-6, fuse_silu)
+    out = group_norm_silu(x, scale, bias, G, 1e-6, fuse_silu)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("fuse_silu", [False, True])
+def test_gradients_match_xla(data, fuse_silu):
+    x, scale, bias = data
+
+    def loss_pallas(x, s, b):
+        y = group_norm_silu(x, s, b, G, 1e-6, fuse_silu)
+        return jnp.sum(y * jnp.cos(y))  # nontrivial downstream
+
+    def loss_xla(x, s, b):
+        y = _group_norm_xla(x, s, b, G, 1e-6, fuse_silu)
+        return jnp.sum(y * jnp.cos(y))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, scale, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_, name in zip(gp, gx, ("dx", "dgamma", "dbeta")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+            err_msg=name,
+        )
+
+
+def test_bf16_io_fp32_stats(data):
+    x, scale, bias = data
+    out = group_norm_silu(x.astype(jnp.bfloat16), scale, bias, G, 1e-6, True)
+    assert out.dtype == jnp.bfloat16
+    ref = _group_norm_xla(x.astype(jnp.bfloat16), scale, bias, G, 1e-6, True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_model_integration_pallas_impl(data):
+    """The model's impl='pallas' flag routes norms through the kernel when
+    eligible (lane-aligned); non-aligned tiny configs keep the XLA path via
+    the group_norm dispatcher's eligibility check."""
+    from vae_channel_dynamics_tpu.ops.group_norm import group_norm
+
+    x, scale, bias = data
+    out_auto = group_norm(x, scale, bias, G, 1e-6, fuse_silu=True, impl="pallas")
+    ref = _group_norm_xla(x, scale, bias, G, 1e-6, True)
+    np.testing.assert_allclose(
+        np.asarray(out_auto), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

@@ -37,10 +37,36 @@ _IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 # --------------------------------------------------------------------------- #
 def get_transform(resolution: int) -> Callable[[Any], np.ndarray]:
     """Shorter-side bilinear resize -> center crop -> RGB -> [-1, 1] HWC
-    float32 (torchvision-pipeline parity, data_utils.py:24-30)."""
+    float32 (torchvision-pipeline parity, data_utils.py:24-30).
+
+    With ``VCD_NATIVE_PREPROCESS=1`` the resize/crop/normalize runs through
+    the fused C++ kernel (data/native.py) instead of PIL — one pass per
+    output pixel, no intermediate images."""
     from PIL import Image
 
+    use_native = os.environ.get("VCD_NATIVE_PREPROCESS", "0") == "1"
+    if use_native:
+        from . import native as native_mod
+
+        use_native = native_mod.available()
+        if not use_native:
+            logger.warning(
+                "VCD_NATIVE_PREPROCESS=1 but native library unavailable; "
+                "using the PIL path."
+            )
+
     def transform(img) -> np.ndarray:
+        if use_native:
+            arr = np.asarray(img) if isinstance(img, Image.Image) else img
+            if isinstance(arr, np.ndarray) and arr.dtype == np.uint8 and (
+                arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] in (1, 3))
+            ):
+                from . import native as native_mod
+
+                return native_mod.preprocess_image(arr, resolution)
+        return _pil_transform(img)
+
+    def _pil_transform(img) -> np.ndarray:
         if isinstance(img, np.ndarray):
             arr = img
             if arr.dtype == np.uint8:
