@@ -1,0 +1,174 @@
+"""Trainer orchestration: reference-config construction, tiny e2e run,
+diffusers conversion tool."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from vae_channel_dynamics_tpu.training.loop import Trainer
+from vae_channel_dynamics_tpu.utils.config_utils import load_config
+
+
+def test_trainer_constructs_from_all_reference_configs(reference_configs_dir):
+    """Every reference experiment YAML must drive Trainer configuration
+    (construction parses all sections; no data/network access happens)."""
+    for name in sorted(os.listdir(reference_configs_dir)):
+        if not name.endswith(".yaml") or name == "base_config.yaml":
+            continue
+        cfg = load_config(os.path.join(reference_configs_dir, name))
+        trainer = Trainer(cfg)
+        assert trainer.run_name
+        assert trainer.kl_weight >= 0
+        assert trainer.threshold_dn > 0
+
+
+@pytest.mark.slow
+def test_tiny_end_to_end_run(tmp_path):
+    """Full pipeline in-process: train 4 steps on synthetic data with every
+    subsystem enabled, then check the artifact tree (the pytest analog of
+    the reference's experiment_cifar10_test smoke flow)."""
+    config = {
+        "project_name": "t",
+        "run_name": "e2e",
+        "output_dir": str(tmp_path),
+        "seed": 0,
+        "threshold": 1e-3,
+        "mean_percentage": 0.1,
+        "dead_type": "both",
+        "model": {"pretrained_vae_name": None, "architecture": "tiny"},
+        "data": {
+            "dataset_name": "synthetic://shapes",
+            "resolution": 16,
+            "max_samples": 32,
+            "batch_size": 2,
+            "num_workers": 0,
+            "do_validation": True,
+            "validation_split_name": "test",
+            "validation_max_samples": 8,
+            "validation_batch_size": 4,
+        },
+        "training": {
+            "num_train_epochs": 2,
+            "learning_rate": "1e-4",
+            "lr_warmup_steps": 1,
+            "kl_weight": "1e-6",
+            "mixed_precision": "no",
+            "validation_epochs": 1,
+        },
+        "logging": {"log_interval": 1, "report_to": "jsonl"},
+        "saving": {"save_interval_steps": 2, "checkpoint_dir_prefix": "chkpt"},
+        "dead_neuron_tracking": {
+            "enabled": True,
+            "track_interval": 1,
+            "target_layer_names_for_raw_weights": ["vae.encoder.conv_in.weight"],
+        },
+        "tracking": {
+            "enabled": True,
+            "track_interval": 1,
+            "target_layers": [
+                {
+                    "name": "vae.encoder.down_blocks.0.resnets.0.norm1",
+                    "capture_point": "output",
+                    "metrics": [
+                        "mean_abs_activation_per_channel",
+                        "full_activation_map",
+                    ],
+                }
+            ],
+        },
+        "logit_lens": {
+            "enabled": True,
+            "visualization_interval": 2,
+            "target_tracked_metrics": [
+                "vae.encoder.down_blocks.0.resnets.0.norm1.output.full_activation_map"
+            ],
+            "num_channels_to_viz": 2,
+            "run_mini_decoder_projection": True,
+        },
+        "classification": {
+            "enabled": True,
+            "method": "threshold_groupnorm_activity",
+            "threshold": 10.0,  # everything inactive -> guaranteed nudge
+            "target_metric_key": "mean_abs_activation_per_channel",
+            "layers_to_classify": [
+                "vae.encoder.down_blocks.0.resnets.0.norm1.output"
+            ],
+        },
+        "intervention": {
+            "enabled": True,
+            "strategy": "gentle_nudge_groupnorm_scale",
+            "nudge_factor": 1.1,
+            "max_scale_value": 1.5,
+            "intervention_interval": 2,
+        },
+    }
+    summary = Trainer(config).train()
+    run_dir = tmp_path / "e2e"
+    assert summary["global_step"] >= 4
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "metrics.jsonl").exists()
+    assert (run_dir / "tracked_activation_stats.csv").exists()
+    assert (run_dir / "intervention_history.csv").exists()
+    assert (run_dir / "final_model" / "vae" / "model.safetensors").exists()
+    assert (run_dir / "final_model" / "state").is_dir()
+    assert (run_dir / "dead_neuron_percentage_history.csv").exists()
+    # intervention actually nudged scales
+    rows = (run_dir / "intervention_history.csv").read_text().strip().splitlines()
+    assert len(rows) >= 1
+    step, inactive, nudged = rows[0].split(",")
+    assert int(nudged) > 0
+    # metrics jsonl has training losses
+    lines = [
+        json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("train_loss_step" in l for l in lines)
+    assert any("validation/avg_total_loss" in l for l in lines)
+
+
+def test_convert_diffusers_roundtrip(tmp_path):
+    """A synthetic 'diffusers dir' (torch names/layouts) converts to our
+    format and loads back with identical tensors."""
+    from safetensors.numpy import save_file
+
+    from vae_channel_dynamics_tpu.models import SDXLVAEWrapper, VAEConfig
+    from vae_channel_dynamics_tpu.models import io as model_io
+    from vae_channel_dynamics_tpu.tools.convert_diffusers import convert
+    from vae_channel_dynamics_tpu.utils import naming
+
+    cfg = VAEConfig.tiny()
+    wrapper = SDXLVAEWrapper(config=cfg, seed=3)
+    flat = model_io.flatten_params(wrapper.params)
+
+    src = tmp_path / "diffusers"
+    os.makedirs(src)
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in flat.items()},
+        str(src / "diffusion_pytorch_model.safetensors"),
+    )
+    with open(src / "config.json", "w") as f:
+        json.dump(
+            {
+                "_class_name": "AutoencoderKL",
+                "block_out_channels": list(cfg.block_out_channels),
+                "layers_per_block": cfg.layers_per_block,
+                "latent_channels": cfg.latent_channels,
+                "norm_num_groups": cfg.norm_num_groups,
+                "scaling_factor": cfg.scaling_factor,
+                "sample_size": cfg.sample_size,
+            },
+            f,
+        )
+
+    dst = tmp_path / "converted"
+    convert(str(src), str(dst))
+    loaded_cfg, loaded = model_io.load_model_dir(str(dst), template=wrapper.params)
+    assert loaded_cfg.block_out_channels == cfg.block_out_channels
+    for (n1, a), (n2, b) in zip(
+        sorted(naming.iter_torch_named_params(wrapper.params)),
+        sorted(naming.iter_torch_named_params(loaded)),
+    ):
+        assert n1 == n2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

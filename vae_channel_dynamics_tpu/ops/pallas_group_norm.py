@@ -64,9 +64,15 @@ def _interpret() -> bool:
     except RuntimeError:
         return True
 
-def _chunk_for(hw: int) -> int:
+def _chunk_for(hw: int, c: int) -> int:
+    """Largest power-of-two chunk dividing hw that keeps an fp32
+    (chunk, C) working tile within ~256KB — the backward kernel holds two
+    such tiles (x and g) plus double-buffered bf16 input blocks, which must
+    fit Mosaic's 16MB scoped-VMEM budget at C=512."""
+    budget_elems = 65536  # 256 KB fp32
+    cap = max(8, budget_elems // max(c, 1))
     for chunk in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if hw % chunk == 0:
+        if chunk <= cap and hw % chunk == 0:
             return chunk
     return hw
 
@@ -94,7 +100,7 @@ def _reduce_kernel(x_ref, sum_ref, sq_ref):
 def _channel_sums(x3: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(B, HW, C) -> per-(sample, channel) sum and sum-of-squares, fp32."""
     b, hw, c = x3.shape
-    chunk = _chunk_for(hw)
+    chunk = _chunk_for(hw, c)
     grid = (b, hw // chunk)
     return pl.pallas_call(
         _reduce_kernel,
@@ -129,7 +135,7 @@ def _apply_normalize(
     x3: jax.Array, a: jax.Array, b: jax.Array, fuse_silu: bool
 ) -> jax.Array:
     bsz, hw, c = x3.shape
-    chunk = _chunk_for(hw)
+    chunk = _chunk_for(hw, c)
     grid = (bsz, hw // chunk)
     return pl.pallas_call(
         functools.partial(_normalize_kernel, fuse_silu=fuse_silu),
@@ -217,7 +223,7 @@ def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, ca_ref, cb_ref, cc_ref, dx_ref,
 
 def _bwd_channel_sums(x3, g3, a, b, fuse_silu):
     bsz, hw, c = x3.shape
-    chunk = _chunk_for(hw)
+    chunk = _chunk_for(hw, c)
     grid = (bsz, hw // chunk)
     vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     mat = pl.BlockSpec(
@@ -239,7 +245,7 @@ def _bwd_channel_sums(x3, g3, a, b, fuse_silu):
 
 def _bwd_dx(x3, g3, a, b, ca, cb, cc, fuse_silu):
     bsz, hw, c = x3.shape
-    chunk = _chunk_for(hw)
+    chunk = _chunk_for(hw, c)
     grid = (bsz, hw // chunk)
     vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     mat = pl.BlockSpec(

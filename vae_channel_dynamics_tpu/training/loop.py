@@ -38,6 +38,7 @@ from ..parallel.mesh import initialize_distributed, pad_batch_to_multiple
 from ..tracking import ActivityMonitor, DeadNeuronTracker
 from ..utils.config_utils import as_float, as_int
 from ..utils.plotting import ActivityPlotter, DeadNeuronPlotter, plot_dead_vs_nudge
+from ..utils.profiling import TraceCapture
 from ..utils.reporting import build_reporter
 from .checkpoint import restore_train_state, save_train_state
 from .state import TrainState
@@ -254,6 +255,8 @@ class Trainer:
             )
             ll_interval = as_int(ll_config.get("visualization_interval"), 1000)
 
+        tracer = TraceCapture(config.get("profiling", {}), self.output_dir)
+
         # ---------------- jitted steps ---------------- #
         module_plain = AutoencoderKL(
             config=vae_config, dtype=dtype,
@@ -331,8 +334,10 @@ class Trainer:
                     and track_interval > 0
                     and next_global % track_interval == 0
                 )
+                tracer.maybe_start(next_global)
                 fn = step_maps if want_maps else step_plain
                 state, metrics, maps = fn(state, padded, mask, base_rng)
+                tracer.maybe_stop(next_global)
                 last_metrics = metrics
                 epoch_metrics.append(metrics)
 
@@ -511,6 +516,7 @@ class Trainer:
                 logger.info("Reached max_train_steps.")
                 break
 
+        tracer.close()
         elapsed = time.time() - t_start
         logger.info(
             "Training finished: %d steps, %d images in %.1fs (%.1f img/s)",
