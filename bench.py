@@ -115,9 +115,11 @@ def main() -> int:
     cfg = VAEConfig.sdxl() if on_tpu else VAEConfig.tiny()
     candidate_batches = (
         [int(b) for b in os.environ.get("BENCH_BATCHES", "").split(",") if b]
-        or ([16, 8, 4] if on_tpu else [8])
+        or ([8, 16] if on_tpu else [8])
     )
-    remat = os.environ.get("BENCH_REMAT", "1") == "1" and on_tpu
+    # Measured on v5e: activations fit HBM without remat up to batch 16 at
+    # 256px, and skipping the recompute is worth ~14% (51.6 vs 45.3 img/s).
+    remat = os.environ.get("BENCH_REMAT", "0") == "1" and on_tpu
 
     module0 = AutoencoderKL(config=cfg, dtype=jnp.bfloat16)
     sample = jnp.zeros((1, 64 if on_tpu else 32, 64 if on_tpu else 32, 3))

@@ -119,6 +119,24 @@ class TransformedDataset:
             return None
 
 
+class IterableTransformedDataset:
+    """Streaming (iterable-only) dataset: applies the transform on the fly;
+    no ``__len__`` (the trainer then sizes epochs from
+    ``training.max_steps_per_epoch_iterable``, mirroring src/train.py:188-192)."""
+
+    def __init__(self, source, image_column: str, transform):
+        self.source = source
+        self.image_column = image_column
+        self.transform = transform
+
+    def __iter__(self):
+        for item in self.source:
+            try:
+                yield {"pixel_values": self.transform(item[self.image_column])}
+            except Exception as e:  # noqa: BLE001
+                logger.warning("Dropping bad streamed record: %s", e)
+
+
 class ImageFolderSource:
     """Local directory of images (recursive), an offline stand-in for HF
     imagefolder datasets."""
@@ -211,10 +229,12 @@ def load_and_preprocess_dataset(
                     f"Image column '{image_column}' not in features: "
                     f"{list(dataset.features)}"
                 )
-        if max_samples is not None:
-            if streaming:
+        if streaming:
+            if max_samples is not None:
                 dataset = dataset.take(max_samples)
-            elif max_samples <= len(dataset):
+            return IterableTransformedDataset(dataset, image_column, transform)
+        if max_samples is not None:
+            if max_samples <= len(dataset):
                 dataset = dataset.select(range(max_samples))
             else:
                 logger.warning(
@@ -272,7 +292,13 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
+    @property
+    def is_iterable(self) -> bool:
+        return not hasattr(self.dataset, "__len__")
+
     def __len__(self) -> int:
+        if self.is_iterable:
+            raise TypeError("Iterable (streaming) dataset has no length")
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -308,7 +334,23 @@ class DataLoader:
             return None
         return {"pixel_values": np.stack(good).astype(np.float32)}
 
+    def _iter_streaming(self) -> Iterator[Optional[Dict[str, np.ndarray]]]:
+        if self.shuffle:
+            logger.warning("Shuffle has no effect for streaming datasets.")
+        buf: List[Dict[str, np.ndarray]] = []
+        for item in self.dataset:
+            if item is not None and item.get("pixel_values") is not None:
+                buf.append(item)
+            if len(buf) == self.batch_size:
+                yield self._collate(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield self._collate(buf)
+
     def __iter__(self) -> Iterator[Optional[Dict[str, np.ndarray]]]:
+        if self.is_iterable:
+            yield from self._iter_streaming()
+            return
         order = self._order()
         n_batches = len(self)
         self._epoch += 1

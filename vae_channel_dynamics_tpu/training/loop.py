@@ -29,6 +29,7 @@ import yaml
 from ..analysis import VAELogitLens
 from ..classification import RegionClassifier
 from ..data import create_dataloader, load_and_preprocess_dataset
+from ..data.pipeline import Prefetcher
 from ..intervention import InterventionHandler
 from ..models import SDXLVAEWrapper, VAEConfig
 from ..models import io as model_io
@@ -191,10 +192,15 @@ class Trainer:
         # ---------------- schedule / optimizer ---------------- #
         tc = self.training_config
         accum = as_int(tc.get("gradient_accumulation_steps"), 1)
-        num_samples = len(train_dataset)
-        steps_per_epoch = max(
-            1, math.ceil(num_samples / global_batch / accum)
-        )
+        try:
+            num_samples = len(train_dataset)
+            steps_per_epoch = max(
+                1, math.ceil(num_samples / global_batch / accum)
+            )
+        except TypeError:  # streaming dataset (train.py:188-192 semantics)
+            steps_per_epoch = as_int(
+                tc.get("max_steps_per_epoch_iterable"), 10000
+            )
         num_train_epochs = as_int(tc.get("num_train_epochs"), 1)
         max_train_steps = num_train_epochs * steps_per_epoch
         tx, schedule = build_optimizer(
@@ -311,19 +317,38 @@ class Trainer:
         last_metrics = None
         classification_output: Dict[str, Any] = {}
 
+        from ..parallel.mesh import batch_sharding
+
+        data_sharding = batch_sharding(mesh)
+
+        def _prepared_batches(loader):
+            """Pad + shard-place batches ahead of consumption in a background
+            thread, overlapping H2D transfer with device compute (the
+            pin_memory/prefetch analog of data_utils.py:218-225)."""
+            def gen():
+                for batch in loader:
+                    if batch is None:
+                        continue
+                    pixels = batch["pixel_values"]
+                    if pixels.ndim != 4 or pixels.shape[0] == 0:
+                        continue
+                    padded, mask = pad_batch_to_multiple(
+                        {"pixel_values": pixels}, n_shards
+                    )
+                    n_valid = int(mask.sum())
+                    yield (
+                        jax.device_put(padded, {"pixel_values": data_sharding}),
+                        jax.device_put(mask, data_sharding),
+                        n_valid,
+                    )
+
+            return Prefetcher(gen(), depth=2)
+
         for epoch in range(num_train_epochs):
             epoch_metrics = []
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
-                if batch is None:
-                    continue
-                pixels = batch["pixel_values"]
-                if pixels.ndim != 4 or pixels.shape[0] == 0:
-                    continue
-                padded, mask = pad_batch_to_multiple(
-                    {"pixel_values": pixels}, n_shards
-                )
-                images_seen += int(mask.sum())
+            for padded, mask, n_valid in _prepared_batches(train_loader):
+                images_seen += n_valid
 
                 micro_step += 1
                 is_update = micro_step % accum == 0
