@@ -29,16 +29,27 @@ def _group_norm_xla(
     eps: float,
     fuse_silu: bool,
 ) -> jax.Array:
+    """Statistics via sum/sum-of-squares over (H, W, C//G) with the channel
+    axis reshaped group-wise ONLY — the spatial dims are never flattened, so
+    under spatial (H) sharding GSPMD keeps the data in place and lowers the
+    reductions to partial-sums + a small all-reduce instead of a gather."""
     orig_dtype = x.dtype
     b, h, w, c = x.shape
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
-    xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(b, h, w, num_groups, cg)
+    n = h * w * cg
+    s = jnp.sum(xf, axis=(1, 2, 4))  # (B, G)
+    q = jnp.sum(jnp.square(xf), axis=(1, 2, 4))
+    mean = s / n
+    var = q / n - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
-    xn = (xf - mean) * inv
-    xn = xn.reshape(b, h, w, c)
-    out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # fold stats + affine into per-(sample, channel) a, b: y = x*a + b
+    mean_c = jnp.repeat(mean, cg, axis=-1)  # (B, C)
+    inv_c = jnp.repeat(inv, cg, axis=-1)
+    a = inv_c * scale.astype(jnp.float32)[None, :]
+    off = bias.astype(jnp.float32)[None, :] - mean_c * a
+    out = x.astype(jnp.float32) * a[:, None, None, :] + off[:, None, None, :]
     if fuse_silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(orig_dtype)

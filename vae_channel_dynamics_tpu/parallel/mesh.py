@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def initialize_distributed() -> None:
@@ -42,9 +43,17 @@ def initialize_distributed() -> None:
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, axis_name: str = DATA_AXIS
+    n_devices: Optional[int] = None,
+    axis_name: str = DATA_AXIS,
+    spatial: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """Device mesh over the first ``n_devices`` devices.
+
+    ``spatial=1`` gives the 1-D data-parallel mesh. ``spatial>1`` builds a
+    2-D (data, spatial) mesh: the batch axis shards over ``data`` and image
+    rows (H) shard over ``spatial`` — GSPMD inserts the conv halo exchanges
+    — which is the scale-out path for high-resolution (1024px) training
+    where activations exceed one chip's HBM."""
     devices = jax.devices()
     if n_devices is not None:
         if n_devices > len(devices):
@@ -52,12 +61,31 @@ def make_mesh(
                 f"Requested {n_devices} devices, have {len(devices)}"
             )
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    if spatial <= 1:
+        return Mesh(np.asarray(devices), (axis_name,))
+    if len(devices) % spatial != 0:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by spatial={spatial}"
+        )
+    grid = np.asarray(devices).reshape(len(devices) // spatial, spatial)
+    return Mesh(grid, (axis_name, SPATIAL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
+    """Image-batch sharding: batch over ``data``, plus H over ``spatial``
+    when the mesh has a spatial axis (NHWC dim 1)."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(axis_name, SPATIAL_AXIS))
     return NamedSharding(mesh, P(axis_name))
+
+
+def vector_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """1-D per-sample vectors (masks, per-sample losses): batch over data."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return int(mesh.shape[DATA_AXIS])
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

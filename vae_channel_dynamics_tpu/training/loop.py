@@ -102,8 +102,12 @@ class Trainer:
         config = self.config
         initialize_distributed()
         is_main = jax.process_index() == 0
-        mesh = make_mesh()
-        n_shards = mesh.devices.size
+        parallel_config = config.get("parallel", {})
+        spatial = as_int(parallel_config.get("spatial"), 1)
+        mesh = make_mesh(spatial=spatial)
+        from ..parallel.mesh import data_axis_size
+
+        n_shards = data_axis_size(mesh)
         logger.info(
             "Running experiment: %s on %d device(s) [%s]",
             self.run_name, n_shards, jax.devices()[0].platform,
@@ -317,9 +321,10 @@ class Trainer:
         last_metrics = None
         classification_output: Dict[str, Any] = {}
 
-        from ..parallel.mesh import batch_sharding
+        from ..parallel.mesh import batch_sharding, vector_sharding
 
-        data_sharding = batch_sharding(mesh)
+        image_sharding = batch_sharding(mesh)
+        mask_sharding = vector_sharding(mesh)
 
         def _prepared_batches(loader):
             """Pad + shard-place batches ahead of consumption in a background
@@ -337,8 +342,8 @@ class Trainer:
                     )
                     n_valid = int(mask.sum())
                     yield (
-                        jax.device_put(padded, {"pixel_values": data_sharding}),
-                        jax.device_put(mask, data_sharding),
+                        jax.device_put(padded, {"pixel_values": image_sharding}),
+                        jax.device_put(mask, mask_sharding),
                         n_valid,
                     )
 

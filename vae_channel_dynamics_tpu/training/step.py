@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.vae import flatten_stats
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import batch_sharding, replicated_sharding, vector_sharding
 from .state import TrainState
 
 
@@ -178,10 +178,11 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    img = batch_sharding(mesh)
+    vec = vector_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, {"pixel_values": data}, data, repl),
+        in_shardings=(repl, {"pixel_values": img}, vec, repl),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0,) if donate else (),
     )
@@ -213,15 +214,16 @@ def make_eval_step(module, mesh=None):
     if mesh is None:
         return jax.jit(eval_fn)
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    img = batch_sharding(mesh)
+    vec = vector_sharding(mesh)
     return jax.jit(
         eval_fn,
-        in_shardings=(repl, {"pixel_values": data}, data),
+        in_shardings=(repl, {"pixel_values": img}, vec),
         out_shardings={
             "rec_loss_sum": repl,
             "kl_sum": repl,
             "mse_mean_weighted": repl,
             "num_samples": repl,
-            "reconstruction": data,
+            "reconstruction": img,
         },
     )
