@@ -280,6 +280,8 @@ class DataLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = False,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -287,6 +289,10 @@ class DataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # multi-host: each process reads a disjoint slice of every epoch's
+        # (identically seeded) permutation, so the union covers the dataset
+        self.shard_index = int(shard_index)
+        self.num_shards = int(num_shards)
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -306,12 +312,16 @@ class DataLoader:
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
-        if not self.shuffle:
-            return np.arange(n)
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, self._epoch])
-        )
-        return rng.permutation(n)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch])
+            )
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.num_shards > 1:
+            order = order[self.shard_index :: self.num_shards]
+        return order
 
     def _fetch(self, index: int):
         try:
@@ -338,7 +348,9 @@ class DataLoader:
         if self.shuffle:
             logger.warning("Shuffle has no effect for streaming datasets.")
         buf: List[Dict[str, np.ndarray]] = []
-        for item in self.dataset:
+        for i, item in enumerate(self.dataset):
+            if self.num_shards > 1 and i % self.num_shards != self.shard_index:
+                continue
             if item is not None and item.get("pixel_values") is not None:
                 buf.append(item)
             if len(buf) == self.batch_size:
@@ -389,10 +401,12 @@ def create_dataloader(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = False,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> DataLoader:
     logger.info(
-        "Creating DataLoader (batch=%d, shuffle=%s, workers=%d)",
-        batch_size, shuffle, num_workers,
+        "Creating DataLoader (batch=%d, shuffle=%s, workers=%d, shard %d/%d)",
+        batch_size, shuffle, num_workers, shard_index, num_shards,
     )
     return DataLoader(
         dataset,
@@ -401,6 +415,8 @@ def create_dataloader(
         shuffle=shuffle,
         seed=seed,
         drop_last=drop_last,
+        shard_index=shard_index,
+        num_shards=num_shards,
     )
 
 

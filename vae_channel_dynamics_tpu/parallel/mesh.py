@@ -92,6 +92,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def make_global_array(local: np.ndarray, sharding: NamedSharding):
+    """Assemble a globally-sharded array from this process's slice.
+
+    Single-process: a plain device_put. Multi-host: each process passes the
+    rows of the global batch that live on its addressable devices and
+    ``jax.make_array_from_process_local_data`` stitches the global logical
+    array (the per-process dataloader sharding HF Accelerate does inside
+    ``prepare``, done the SPMD way)."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch onto the mesh, sharded along the batch axis.
 

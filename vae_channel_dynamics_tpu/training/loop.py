@@ -155,11 +155,35 @@ class Trainer:
             split=dc.get("train_split_name", "train"),
             seed=seed,
         )
+        # multi-host: each process loads a disjoint 1/process_count slice of
+        # the global batch; arrays are stitched globally at device_put time
+        process_count = jax.process_count()
+        process_index = jax.process_index()
+        if global_batch % max(process_count, 1) != 0:
+            raise ValueError(
+                f"Global batch {global_batch} must divide process count "
+                f"{process_count}"
+            )
+        per_process_batch = global_batch // process_count
+        # Multi-host: every process must emit the SAME number of batches per
+        # epoch (one SPMD program). drop_last + a uniform cap derived from
+        # the smallest process shard guarantees it.
         train_loader = create_dataloader(
-            train_dataset, batch_size=global_batch,
+            train_dataset, batch_size=per_process_batch,
             num_workers=as_int(dc.get("num_workers"), 0), shuffle=True,
-            seed=seed,
+            seed=seed, shard_index=process_index, num_shards=process_count,
+            drop_last=process_count > 1,
         )
+        batches_per_epoch_cap = None
+        if process_count > 1:
+            try:
+                smallest_shard = len(train_dataset) // process_count
+                batches_per_epoch_cap = smallest_shard // per_process_batch
+            except TypeError:
+                batches_per_epoch_cap = as_int(
+                    self.training_config.get("max_steps_per_epoch_iterable"),
+                    10000,
+                )
         val_loader = None
         do_validation = bool(dc.get("do_validation", False))
         if do_validation:
@@ -321,29 +345,45 @@ class Trainer:
         last_metrics = None
         classification_output: Dict[str, Any] = {}
 
-        from ..parallel.mesh import batch_sharding, vector_sharding
+        from ..parallel.mesh import (
+            batch_sharding,
+            make_global_array,
+            vector_sharding,
+        )
 
         image_sharding = batch_sharding(mesh)
         mask_sharding = vector_sharding(mesh)
+        local_multiple = max(1, n_shards // process_count)
 
         def _prepared_batches(loader):
             """Pad + shard-place batches ahead of consumption in a background
             thread, overlapping H2D transfer with device compute (the
             pin_memory/prefetch analog of data_utils.py:218-225)."""
             def gen():
+                emitted = 0
                 for batch in loader:
+                    if (
+                        batches_per_epoch_cap is not None
+                        and emitted >= batches_per_epoch_cap
+                    ):
+                        break
                     if batch is None:
                         continue
                     pixels = batch["pixel_values"]
                     if pixels.ndim != 4 or pixels.shape[0] == 0:
                         continue
+                    emitted += 1
                     padded, mask = pad_batch_to_multiple(
-                        {"pixel_values": pixels}, n_shards
+                        {"pixel_values": pixels}, local_multiple
                     )
                     n_valid = int(mask.sum())
                     yield (
-                        jax.device_put(padded, {"pixel_values": image_sharding}),
-                        jax.device_put(mask, mask_sharding),
+                        {
+                            "pixel_values": make_global_array(
+                                padded["pixel_values"], image_sharding
+                            )
+                        },
+                        make_global_array(mask, mask_sharding),
                         n_valid,
                     )
 
