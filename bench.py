@@ -108,6 +108,33 @@ def time_steps(step, state, batch_np, mask, rng, warmup=3, iters=10):
     return (t2 - t1) / iters, state
 
 
+def build_forward(cfg, params):
+    """Serving path: deterministic encode->decode (no grad, no optimizer)."""
+    module = AutoencoderKL(config=cfg, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def fwd(params, pixels):
+        out = module.apply({"params": params}, pixels, sample_posterior=False)
+        return out["reconstruction"]
+
+    return fwd
+
+
+def time_forward(fwd, params, data, warmup=3, iters=10):
+    def run_chain(n):
+        t0 = time.perf_counter()
+        x = data
+        for _ in range(n):
+            x = fwd(params, x)
+        _ = float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
+        return time.perf_counter() - t0
+
+    run_chain(warmup)
+    t1 = run_chain(2)
+    t2 = run_chain(2 + iters)
+    return (t2 - t1) / iters
+
+
 def main() -> int:
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -185,6 +212,26 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         print(f"# tracking overhead measurement failed: {e}", file=sys.stderr)
 
+    # serving (forward-only) throughput at the best batch size
+    forward_ips = None
+    try:
+        batch = best["batch"]
+        data = jax.device_put(
+            np.random.default_rng(0)
+            .uniform(-1, 1, (batch, resolution, resolution, 3))
+            .astype(np.float32)
+        )
+        params = jax.device_put(params_host)
+        fwd = build_forward(cfg, params)
+        dt_fwd = time_forward(fwd, params, data)
+        forward_ips = batch / dt_fwd
+        print(
+            f"# forward-only: {dt_fwd*1e3:.1f} ms/batch, {forward_ips:.1f} img/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"# forward benchmark failed: {e}", file=sys.stderr)
+
     result = {
         "metric": f"sdxl_vae_train_images_per_sec_per_chip@{resolution}px",
         "value": round(best["ips"], 2),
@@ -196,6 +243,13 @@ def main() -> int:
         "tracking_overhead_pct": (
             round(overhead_pct, 2) if overhead_pct is not None else None
         ),
+        "forward_images_per_sec": (
+            round(forward_ips, 2) if forward_ips is not None else None
+        ),
+        # 2.66 TFLOP/image from XLA cost analysis (PERF.md); v5e bf16 peak 197
+        "mfu_pct": round(best["ips"] * 2.66e12 / 197e12 * 100.0, 1)
+        if on_tpu
+        else None,
     }
     print(json.dumps(result))
     return 0

@@ -1,0 +1,62 @@
+"""Evaluate CLI end-to-end (in-process) against a freshly saved checkpoint."""
+
+import os
+
+import yaml
+
+from vae_channel_dynamics_tpu import evaluate as evaluate_cli
+from vae_channel_dynamics_tpu.models import SDXLVAEWrapper, VAEConfig
+from vae_channel_dynamics_tpu.models import io as model_io
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    # checkpoint dir with a vae/ subdir (the train-CLI artifact contract)
+    ckpt = tmp_path / "final_model"
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=1)
+    model_io.save_model_dir(str(ckpt / "vae"), wrapper.config, wrapper.params)
+
+    config = {
+        "seed": 0,
+        "data": {
+            "dataset_name": "synthetic://shapes",
+            "resolution": 32,
+            "batch_size": 4,
+            "validation_split_name": "test",
+            "validation_max_samples": 8,
+            "validation_batch_size": 4,
+            "num_workers": 0,
+        },
+        "training": {"mixed_precision": "no"},
+        "logit_lens": {"num_channels_to_viz": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    rc = evaluate_cli.main(
+        [
+            "--config_path", str(cfg_path),
+            "--checkpoint_path", str(ckpt),
+            "--eval_split", "test",
+            "--num_samples_to_save", "2",
+            "--logit_lens_layers", "encoder.down_blocks.0.resnets.0.norm1",
+        ]
+    )
+    assert rc == 0
+    outdir = ckpt / "eval_results_test"
+    metrics = (outdir / "eval_metrics.txt").read_text()
+    assert "Average MSE:" in metrics
+    assert "Average PSNR:" in metrics
+    assert "Average SSIM:" in metrics
+    assert "Number of Samples Processed: 8" in metrics
+    assert (outdir / "sample_0_orig.png").exists()
+    assert (outdir / "sample_0_recon.png").exists()
+    assert (outdir / "sample_1_recon.png").exists()
+    assert (outdir / "out_0.png").exists()  # activation grid
+    # logit lens projections
+    ll_dirs = list((outdir / "logit_lens_visualizations_eval").rglob("*.png"))
+    assert ll_dirs
+    # sanity: metrics are finite numbers
+    for line in metrics.splitlines():
+        if line.startswith("Average"):
+            val = float(line.split(":")[1])
+            assert val == val  # not NaN
