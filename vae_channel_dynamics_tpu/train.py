@@ -39,7 +39,30 @@ def main(argv=None) -> int:
     setup_logging()
     args = parse_args(argv)
     config = load_config(args.config_path)
-    trainer = Trainer(config, resume_from=args.resume_from)
+    resume_from = args.resume_from
+    if resume_from == "auto":
+        # find the newest periodic checkpoint in this run's output dir
+        import os
+
+        from .training.checkpoint import latest_checkpoint
+
+        run_dir = os.path.join(
+            config.get("output_dir", "./results"),
+            config.get("run_name", "vae_run"),
+        )
+        resume_from = latest_checkpoint(
+            run_dir,
+            config.get("saving", {}).get("checkpoint_dir_prefix", "chkpt"),
+        )
+        if resume_from:
+            logging.getLogger(__name__).info(
+                "Auto-resume from %s", resume_from
+            )
+        else:
+            logging.getLogger(__name__).info(
+                "Auto-resume: no checkpoint found; starting fresh."
+            )
+    trainer = Trainer(config, resume_from=resume_from)
     summary = trainer.train()
     logging.getLogger(__name__).info("Run summary: %s", summary)
     return 0
