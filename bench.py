@@ -142,7 +142,7 @@ def main() -> int:
     cfg = VAEConfig.sdxl() if on_tpu else VAEConfig.tiny()
     candidate_batches = (
         [int(b) for b in os.environ.get("BENCH_BATCHES", "").split(",") if b]
-        or ([24, 8] if on_tpu else [8])  # 24 measured best on v5e @256px
+        or ([24] if on_tpu else [8])  # 24 measured best on v5e @256px
     )
     # Measured on v5e: activations fit HBM without remat up to batch 16 at
     # 256px, and skipping the recompute is worth ~14% (51.6 vs 45.3 img/s).
@@ -181,6 +181,23 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — OOM at large batch: try smaller
             print(f"# batch={batch} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
+
+    if best is None and 8 not in candidate_batches:
+        # OOM fallback: retry once at a conservative batch size
+        for batch in (8,):
+            try:
+                data = jax.device_put(
+                    np.random.default_rng(0)
+                    .uniform(-1, 1, (batch, resolution, resolution, 3))
+                    .astype(np.float32)
+                )
+                mask = jnp.ones(batch, jnp.float32)
+                params = jax.device_put(params_host)
+                step, state = build_step(cfg, batch, resolution, (), params, remat)
+                dt, _ = time_steps(step, state, {"pixel_values": data}, mask, rng)
+                best = {"batch": batch, "ips": batch / dt, "dt": dt}
+            except Exception as e:  # noqa: BLE001
+                print(f"# fallback batch={batch} failed: {e}", file=sys.stderr)
 
     if best is None:
         print(json.dumps({"metric": "error", "value": 0, "unit": "",

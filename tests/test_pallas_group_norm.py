@@ -87,3 +87,23 @@ def test_model_integration_pallas_impl(data):
     np.testing.assert_allclose(
         np.asarray(out_auto), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_in_kernel_stat_side_output(data):
+    """The normalize kernel's |y| side output must equal the hook metric."""
+    from vae_channel_dynamics_tpu.ops.pallas_group_norm import (
+        group_norm_silu_with_stats,
+    )
+    from vae_channel_dynamics_tpu.ops.stats import (
+        mean_abs_activation_per_channel,
+    )
+
+    x, scale, bias = data
+    y, mean_abs = group_norm_silu_with_stats(x, scale, bias, G, 1e-6, True)
+    ref_y = _group_norm_xla(x, scale, bias, G, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(mean_abs),
+        np.asarray(mean_abs_activation_per_channel(ref_y)),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -73,3 +73,35 @@ def test_spatial_step_matches_data_parallel():
     np.testing.assert_allclose(
         results["dp8"][1], results["dp4sp2"][1], rtol=1e-4, atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_trainer_with_spatial_config(tmp_path):
+    """Trainer end-to-end on a (4 data x 2 spatial) mesh via parallel.spatial."""
+    from vae_channel_dynamics_tpu.training.loop import Trainer
+
+    config = {
+        "run_name": "sp2",
+        "output_dir": str(tmp_path),
+        "seed": 0,
+        "model": {"pretrained_vae_name": None, "architecture": "tiny"},
+        "parallel": {"spatial": 2},
+        "data": {
+            "dataset_name": "synthetic://shapes",
+            "resolution": 16,
+            "max_samples": 16,
+            "batch_size": 2,  # per data shard -> global 8
+            "do_validation": False,
+        },
+        "training": {
+            "num_train_epochs": 1,
+            "learning_rate": 1e-4,
+            "lr_warmup_steps": 1,
+            "mixed_precision": "no",
+        },
+        "logging": {"log_interval": 1, "report_to": "jsonl"},
+        "saving": {"save_interval_steps": 1000},
+    }
+    summary = Trainer(config).train()
+    assert summary["global_step"] >= 2
+    assert (tmp_path / "sp2" / "final_model" / "vae" / "model.safetensors").exists()

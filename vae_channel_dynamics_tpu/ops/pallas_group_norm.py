@@ -131,29 +131,61 @@ def _normalize_kernel(x_ref, a_ref, b_ref, y_ref, *, fuse_silu: bool):
     y_ref[0] = y.astype(y_ref.dtype)
 
 
+def _normalize_stats_kernel(x_ref, a_ref, b_ref, y_ref, abs_ref,
+                            *, fuse_silu: bool):
+    """Normalize pass that additionally emits the per-channel |y| running
+    sum as a side output — per-channel activation statistics for free during
+    the write pass (the in-kernel replacement for the reference's hook
+    metric mean_abs_activation_per_channel, src/tracking/monitor.py:64-69)."""
+    j = pl.program_id(1)
+    xf = x_ref[0].astype(jnp.float32)
+    y = xf * a_ref[0] + b_ref[0]
+    if fuse_silu:
+        y = y * jax.nn.sigmoid(y)
+    y_ref[0] = y.astype(y_ref.dtype)
+    s = jnp.sum(jnp.abs(y), axis=0, keepdims=True)[None]  # (1, 1, C)
+
+    @pl.when(j == 0)
+    def _():
+        abs_ref[...] = s
+
+    @pl.when(j > 0)
+    def _():
+        abs_ref[...] += s
+
+
 def _apply_normalize(
-    x3: jax.Array, a: jax.Array, b: jax.Array, fuse_silu: bool
-) -> jax.Array:
+    x3: jax.Array, a: jax.Array, b: jax.Array, fuse_silu: bool,
+    with_abs_stats: bool = False,
+):
     bsz, hw, c = x3.shape
     chunk = _chunk_for(hw, c)
     grid = (bsz, hw // chunk)
-    return pl.pallas_call(
-        functools.partial(_normalize_kernel, fuse_silu=fuse_silu),
+    mat_in = pl.BlockSpec(
+        (1, chunk, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    if not with_abs_stats:
+        return pl.pallas_call(
+            functools.partial(_normalize_kernel, fuse_silu=fuse_silu),
+            grid=grid,
+            interpret=_interpret(),
+            in_specs=[mat_in, vec, vec],
+            out_specs=mat_in,
+            out_shape=jax.ShapeDtypeStruct((bsz, hw, c), x3.dtype),
+        )(x3, a[:, None], b[:, None])
+    y, abs_sum = pl.pallas_call(
+        functools.partial(_normalize_stats_kernel, fuse_silu=fuse_silu),
         grid=grid,
         interpret=_interpret(),
-        in_specs=[
-            pl.BlockSpec(
-                (1, chunk, c), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=[mat_in, vec, vec],
+        out_specs=[mat_in, vec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hw, c), x3.dtype),
+            jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
         ],
-        out_specs=pl.BlockSpec(
-            (1, chunk, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hw, c), x3.dtype),
     )(x3, a[:, None], b[:, None])
+    return y, abs_sum[:, 0]
 
 
 def _group_stats(
@@ -348,3 +380,31 @@ def group_norm_silu(
         num_groups, float(eps), bool(fuse_silu),
     )
     return y.reshape(b, h, w, c)
+
+
+def group_norm_silu_with_stats(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    fuse_silu: bool = False,
+):
+    """Forward-only GroupNorm(+SiLU) that also returns
+    ``mean_abs_activation_per_channel`` of the output, computed INSIDE the
+    normalize kernel's write pass (zero extra memory traffic). Returns
+    ``(y, mean_abs)`` with ``mean_abs`` shape (C,), averaged over batch and
+    spatial positions — the reference hook-metric convention
+    (monitor.py:64-69)."""
+    b, h, w, c = x.shape
+    x3 = x.reshape(b, h * w, c)
+    sums, sqs = _channel_sums(x3)
+    sums, sqs = sums[:, 0], sqs[:, 0]
+    mean, rstd = _group_stats(sums, sqs, h * w, num_groups, eps)
+    a, off = _affine_coeffs(
+        mean, rstd, scale.astype(jnp.float32), bias.astype(jnp.float32),
+        num_groups, c,
+    )
+    y, abs_sum = _apply_normalize(x3, a, off, fuse_silu, with_abs_stats=True)
+    mean_abs = jnp.sum(abs_sum, axis=0) / (b * h * w)
+    return y.reshape(b, h, w, c), mean_abs
