@@ -477,6 +477,17 @@ class Trainer:
                 # --- logging (train.py:331-338) ---
                 if global_step % log_interval == 0 and is_main:
                     host_metrics = jax.device_get(metrics)
+                    # failure detection (absent in the reference, SURVEY §5):
+                    # a non-finite loss means divergence — stop before
+                    # burning the rest of the run, unless configured off
+                    if not np.isfinite(float(host_metrics["train_loss_step"])):
+                        msg = (
+                            f"Non-finite loss at step {global_step}: "
+                            f"{host_metrics}"
+                        )
+                        if bool(tc.get("abort_on_nonfinite", True)):
+                            raise FloatingPointError(msg)
+                        logger.error(msg)
                     logs = {
                         "train_loss_step": float(host_metrics["train_loss_step"]),
                         "rec_loss": float(host_metrics["rec_loss"]),
