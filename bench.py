@@ -263,8 +263,12 @@ def main() -> int:
         "forward_images_per_sec": (
             round(forward_ips, 2) if forward_ips is not None else None
         ),
-        # 2.66 TFLOP/image from XLA cost analysis (PERF.md); v5e bf16 peak 197
-        "mfu_pct": round(best["ips"] * 2.66e12 / 197e12 * 100.0, 1)
+        # 2.66 TFLOP/image @256px from XLA cost analysis (PERF.md), scaled
+        # quadratically with resolution (conv-dominated); v5e bf16 peak 197
+        "mfu_pct": round(
+            best["ips"] * 2.66e12 * (resolution / 256.0) ** 2 / 197e12 * 100.0,
+            1,
+        )
         if on_tpu
         else None,
     }

@@ -158,3 +158,15 @@ def test_latest_checkpoint(tmp_path):
         os.makedirs(tmp_path / f"chkpt-{step}" / "state")
     os.makedirs(tmp_path / "chkpt-999")  # no state subdir -> ignored
     assert latest_checkpoint(str(tmp_path)) == str(tmp_path / "chkpt-100")
+
+
+def test_prune_checkpoints(tmp_path):
+    from vae_channel_dynamics_tpu.training.checkpoint import prune_checkpoints
+
+    for step in (10, 20, 30, 40):
+        os.makedirs(tmp_path / f"chkpt-{step}" / "state")
+    prune_checkpoints(str(tmp_path), "chkpt", keep_last_n=0)  # parity: keep all
+    assert len(list(tmp_path.glob("chkpt-*"))) == 4
+    prune_checkpoints(str(tmp_path), "chkpt", keep_last_n=2)
+    remaining = sorted(p.name for p in tmp_path.glob("chkpt-*"))
+    assert remaining == ["chkpt-30", "chkpt-40"]

@@ -44,6 +44,30 @@ def restore_train_state(path: str, template: Any) -> Any:
     return restored
 
 
+def prune_checkpoints(
+    output_dir: str, prefix: str = "chkpt", keep_last_n: int = 0
+) -> None:
+    """Delete all but the newest ``keep_last_n`` periodic checkpoints.
+
+    The reference never prunes (quirk SURVEY.md §5a-13); enable with
+    ``saving.keep_last_n`` — 0 (default) keeps everything, reference parity.
+    """
+    if keep_last_n <= 0 or not os.path.isdir(output_dir):
+        return
+    import shutil
+
+    steps = []
+    for name in os.listdir(output_dir):
+        if name.startswith(prefix + "-"):
+            suffix = name.rsplit("-", 1)[-1]
+            if suffix.isdigit():
+                steps.append(int(suffix))
+    for step in sorted(steps)[:-keep_last_n]:
+        target = os.path.join(output_dir, f"{prefix}-{step}")
+        shutil.rmtree(target, ignore_errors=True)
+        logger.info("Pruned old checkpoint %s", target)
+
+
 def latest_checkpoint(output_dir: str, prefix: str = "chkpt") -> Optional[str]:
     """Find the highest-step ``<prefix>-<step>`` checkpoint dir in a run."""
     if not os.path.isdir(output_dir):

@@ -41,7 +41,7 @@ from ..utils.config_utils import as_float, as_int
 from ..utils.plotting import ActivityPlotter, DeadNeuronPlotter, plot_dead_vs_nudge
 from ..utils.profiling import TraceCapture
 from ..utils.reporting import build_reporter
-from .checkpoint import restore_train_state, save_train_state
+from .checkpoint import prune_checkpoints, restore_train_state, save_train_state
 from .state import TrainState
 from .step import build_optimizer, make_eval_step, make_train_step
 
@@ -545,6 +545,10 @@ class Trainer:
                             self.output_dir, f"{checkpoint_prefix}-{global_step}"
                         ),
                         state,
+                    )
+                    prune_checkpoints(
+                        self.output_dir, checkpoint_prefix,
+                        as_int(self.saving_config.get("keep_last_n"), 0),
                     )
 
                 # --- step-interval validation (train.py:366-369) ---
