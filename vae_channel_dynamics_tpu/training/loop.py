@@ -206,10 +206,13 @@ class Trainer:
                     val_dataset,
                     batch_size=as_int(
                         dc.get("validation_batch_size"), per_device_batch
-                    ) * n_shards,
+                    ) * n_shards // process_count,
                     num_workers=as_int(dc.get("num_workers"), 0),
                     shuffle=False,
                     seed=seed,
+                    shard_index=process_index,
+                    num_shards=process_count,
+                    drop_last=process_count > 1,
                 )
             except Exception as e:  # noqa: BLE001 — parity: disable on failure
                 logger.error(
@@ -355,17 +358,29 @@ class Trainer:
         mask_sharding = vector_sharding(mesh)
         local_multiple = max(1, n_shards // process_count)
 
-        def _prepared_batches(loader):
+        def _uniform_cap(loader):
+            """Uniform per-process batch count for multi-host epochs (every
+            process must dispatch the same SPMD program count)."""
+            if process_count == 1:
+                return None
+            try:
+                return (len(loader.dataset) // process_count) // loader.batch_size
+            except TypeError:
+                return as_int(
+                    self.training_config.get("max_steps_per_epoch_iterable"),
+                    10000,
+                )
+
+        def _prepared_batches(loader, cap="train"):
             """Pad + shard-place batches ahead of consumption in a background
             thread, overlapping H2D transfer with device compute (the
             pin_memory/prefetch analog of data_utils.py:218-225)."""
+            batch_cap = batches_per_epoch_cap if cap == "train" else _uniform_cap(loader)
+
             def gen():
                 emitted = 0
                 for batch in loader:
-                    if (
-                        batches_per_epoch_cap is not None
-                        and emitted >= batches_per_epoch_cap
-                    ):
+                    if batch_cap is not None and emitted >= batch_cap:
                         break
                     if batch is None:
                         continue
@@ -559,7 +574,8 @@ class Trainer:
                     and global_step % validation_steps == 0
                 ):
                     self._run_validation(
-                        eval_step, state, val_loader, n_shards,
+                        eval_step, state,
+                        _prepared_batches(val_loader, cap="val"),
                         global_step, reporter,
                     )
 
@@ -595,7 +611,9 @@ class Trainer:
                 and validation_steps <= 0
             ):
                 self._run_validation(
-                    eval_step, state, val_loader, n_shards, global_step, reporter
+                    eval_step, state,
+                    _prepared_batches(val_loader, cap="val"),
+                    global_step, reporter,
                 )
             if global_step >= max_train_steps:
                 logger.info("Reached max_train_steps.")
@@ -621,15 +639,14 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def _run_validation(
-        self, eval_step, state, val_loader, n_shards, global_step, reporter
+        self, eval_step, state, prepared_batches, global_step, reporter
     ) -> Dict[str, float]:
-        """SUM-convention validation (src/train.py:53-97)."""
+        """SUM-convention validation (src/train.py:53-97). Consumes
+        pre-sharded batches from the same prefetch path as training (so the
+        multi-host assembly applies identically)."""
         logger.info("--- Running Validation for Global Step: %d ---", global_step)
         rec_sum = kl_sum = n = 0.0
-        for batch in val_loader:
-            if batch is None:
-                continue
-            padded, mask = pad_batch_to_multiple(batch, n_shards)
+        for padded, mask, _n_valid in prepared_batches:
             out = eval_step(state.params, padded, mask)
             host = jax.device_get(
                 {k: out[k] for k in ("rec_loss_sum", "kl_sum", "num_samples")}
