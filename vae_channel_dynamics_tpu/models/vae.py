@@ -86,6 +86,12 @@ class VAEConfig:
         return cls()
 
     @classmethod
+    def sd(cls) -> "VAEConfig":
+        """Stable Diffusion 1.x/2.x VAE: identical topology to the SDXL VAE,
+        different latent scaling factor and nominal sample size."""
+        return cls(scaling_factor=0.18215, sample_size=512)
+
+    @classmethod
     def tiny(cls) -> "VAEConfig":
         """A CPU-testable miniature with the same topology."""
         return cls(
