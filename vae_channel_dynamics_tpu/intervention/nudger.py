@@ -17,7 +17,7 @@ interval==1 special case, nudger.py:94-97) are preserved."""
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,9 +16,6 @@ sigma=1.5, kernel_size=11)``. Conventions reproduced here:
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

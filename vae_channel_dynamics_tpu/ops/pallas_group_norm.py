@@ -29,7 +29,7 @@ where g_eff folds the SiLU derivative when fused.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
