@@ -190,3 +190,41 @@ def test_upsample_nearest_matches_torch():
     np.testing.assert_allclose(
         np.asarray(out), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_upsample_gradients_match_materialized():
+    """The input-dilated upsampler conv must match nearest-up+conv in value
+    AND gradients (it replaces it inside the decoder)."""
+    from vae_channel_dynamics_tpu.models.vae import VConv
+
+    torch.manual_seed(7)
+    x = jnp.asarray(torch.randn(2, 6, 6, 5).numpy())
+    w = jnp.asarray((torch.randn(3, 3, 5, 7) * 0.3).numpy())
+    b = jnp.asarray(torch.randn(7).numpy())
+    params = {"kernel": w, "bias": b}
+
+    fused = VConv(features=7, fuse_nearest_upsample=True)
+    plain = VConv(features=7)
+
+    def loss_fused(p, v):
+        return jnp.sum(jnp.sin(fused.apply({"params": p}, v)))
+
+    def loss_plain(p, v):
+        v2 = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+        return jnp.sum(jnp.sin(plain.apply({"params": p}, v2)))
+
+    np.testing.assert_allclose(
+        float(loss_fused(params, x)), float(loss_plain(params, x)), rtol=1e-5
+    )
+    gf = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    gp = jax.grad(loss_plain, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(gf[0]["kernel"]), np.asarray(gp[0]["kernel"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf[0]["bias"]), np.asarray(gp[0]["bias"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf[1]), np.asarray(gp[1]), rtol=1e-4, atol=1e-5
+    )
