@@ -169,3 +169,60 @@ def test_gradient_accumulation_equivalence():
     d_acc = max(jax.tree.leaves(delta_acc))
     assert d_full > 0 and d_acc > 0
     assert d_acc == pytest.approx(d_full, rel=0.5)
+
+
+def test_map_keys_variant_returns_full_maps():
+    """The interval-step variant must return full activation maps (NCHW)
+    while keeping scalar stats flowing into the state accumulator."""
+    from vae_channel_dynamics_tpu.tracking import ActivityMonitor
+
+    monitor = ActivityMonitor(
+        {
+            "enabled": True,
+            "track_interval": 1,
+            "target_layers": [
+                {
+                    "name": "vae.encoder.conv_in",
+                    "capture_point": "output",
+                    "metrics": [
+                        "mean_abs_activation_per_channel",
+                        "full_activation_map",
+                    ],
+                }
+            ],
+        }
+    )
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg, capture=monitor.map_capture_table)
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+        sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, 0, 10)
+    acc = monitor.init_acc(module, params, (4, 16, 16, 3))
+    assert list(acc) == ["encoder.conv_in.output.mean_abs_activation_per_channel"]
+    state = TrainState.create(params, tx, stats_acc=acc)
+    step = make_train_step(
+        module, tx, 1e-6,
+        stats_accumulate=ActivityMonitor.accumulate,
+        map_keys=monitor.map_keys, donate=False,
+    )
+    batch, mask = _batch(4)
+    state, _metrics, maps = step(state, batch, mask, jax.random.PRNGKey(0))
+    key = "encoder.conv_in.output.full_activation_map"
+    assert key in maps
+    assert maps[key].shape == (4, 16, 16, 16)  # NCHW
+    # scalar stat accumulated once
+    acc_val = np.asarray(
+        state.stats_acc["encoder.conv_in.output.mean_abs_activation_per_channel"]
+    )
+    assert acc_val.shape == (16,) and acc_val.sum() > 0
+    assert float(state.stats_count) == 1.0
+    # monitor.step consumes both and produces the reference wandb keys
+    wm = monitor.step(1, state.stats_acc, state.stats_count, maps)
+    assert (
+        "tracking/vae.encoder.conv_in.output/"
+        "mean_abs_activation_per_channel_overall_mean" in wm
+    )
+    assert "tracking/vae.encoder.conv_in.output/full_activation_map_mean" in wm

@@ -345,7 +345,6 @@ class Trainer:
         micro_step = int(jax.device_get(state.step))
         t_start = time.time()
         images_seen = 0
-        last_metrics = None
         classification_output: Dict[str, Any] = {}
 
         from ..parallel.mesh import (
@@ -423,7 +422,6 @@ class Trainer:
                 fn = step_maps if want_maps else step_plain
                 state, metrics, maps = fn(state, padded, mask, base_rng)
                 tracer.maybe_stop(next_global)
-                last_metrics = metrics
                 epoch_metrics.append(metrics)
 
                 if not is_update:
