@@ -172,3 +172,56 @@ def test_convert_diffusers_roundtrip(tmp_path):
     ):
         assert n1 == n2
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resolve_model_local_dir(tmp_path):
+    """model.pretrained_vae_name pointing at a saved model dir loads its
+    weights (the local-checkpoint fine-tune path)."""
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.models import SDXLVAEWrapper, VAEConfig
+    from vae_channel_dynamics_tpu.models import io as model_io
+    from vae_channel_dynamics_tpu.training.loop import resolve_model
+    from vae_channel_dynamics_tpu.utils import naming
+
+    src = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=9)
+    model_io.save_model_dir(str(tmp_path / "vae"), src.config, src.params)
+    wrapper = resolve_model(
+        {"pretrained_vae_name": str(tmp_path / "vae")}, jnp.float32
+    )
+    assert wrapper.config == src.config
+    a = naming.get_param(wrapper.params, "encoder.conv_in.weight")
+    b = naming.get_param(src.params, "encoder.conv_in.weight")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_cli_auto_resume_no_checkpoint(tmp_path, monkeypatch):
+    """--resume_from auto with no checkpoints starts fresh instead of failing."""
+    from vae_channel_dynamics_tpu import train as train_cli
+
+    config = {
+        "run_name": "auto_resume",
+        "output_dir": str(tmp_path),
+        "seed": 0,
+        "model": {"pretrained_vae_name": None, "architecture": "tiny"},
+        "data": {
+            "dataset_name": "synthetic://noise",
+            "resolution": 16,
+            "max_samples": 8,
+            "batch_size": 4,
+            "do_validation": False,
+        },
+        "training": {"num_train_epochs": 1, "learning_rate": 1e-4,
+                     "lr_warmup_steps": 1, "mixed_precision": "no"},
+        "logging": {"log_interval": 1, "report_to": "none"},
+        "saving": {"save_interval_steps": 1},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = train_cli.main(["--config_path", str(cfg_path), "--resume_from", "auto"])
+    assert rc == 0
+    # checkpoints were written; a second auto-resume picks up the latest
+    run_dir = tmp_path / "auto_resume"
+    assert any(p.name.startswith("chkpt-") for p in run_dir.iterdir())
+    rc = train_cli.main(["--config_path", str(cfg_path), "--resume_from", "auto"])
+    assert rc == 0
