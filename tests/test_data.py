@@ -157,3 +157,46 @@ def test_dataloader_threaded_matches_sync():
     assert len(sync) == len(threaded)
     for a, b in zip(sync, threaded):
         np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+
+
+def test_prefetcher_close_unblocks_worker_on_early_exit():
+    """Breaking out of prefetched iteration (e.g. max_train_steps) must not
+    leak a worker thread parked on a full queue (training/loop.py closes the
+    Prefetcher on early break)."""
+    import threading
+    import time
+
+    from vae_channel_dynamics_tpu.data.pipeline import Prefetcher
+
+    source_closed = threading.Event()
+
+    def slow_source():
+        try:
+            for i in range(1000):
+                yield {"x": np.full((2, 2), i, dtype=np.float32)}
+        finally:
+            source_closed.set()
+
+    pf = Prefetcher(slow_source(), depth=2)
+    # consume a couple of items, then abandon the iterator mid-stream
+    first = next(pf)
+    assert first["x"].shape == (2, 2)
+    next(pf)
+    assert pf._thread.is_alive()  # worker is parked on the full queue
+    pf.close()
+    assert not pf._thread.is_alive()
+    assert source_closed.wait(timeout=5.0)
+    # idempotent, and iteration after close terminates cleanly
+    pf.close()
+    with pytest.raises(StopIteration):
+        next(pf)
+
+
+def test_prefetcher_normal_exhaustion_still_terminates():
+    from vae_channel_dynamics_tpu.data.pipeline import Prefetcher
+
+    pf = Prefetcher(iter([{"x": np.zeros(1)}] * 3), depth=2)
+    assert len(list(pf)) == 3
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
+    pf.close()

@@ -60,3 +60,61 @@ def test_evaluate_cli_end_to_end(tmp_path):
         if line.startswith("Average"):
             val = float(line.split(":")[1])
             assert val == val  # not NaN
+
+
+def test_evaluate_cli_mesh_matches_single_device(tmp_path, monkeypatch):
+    """Sharded eval (8-device mesh) must produce the same metrics as a
+    1-device run — the eval_batch in_shardings split work without changing
+    the math (VERDICT round-1 item 6)."""
+    import vae_channel_dynamics_tpu.parallel as parallel_pkg
+    from vae_channel_dynamics_tpu.parallel.mesh import make_mesh
+
+    ckpt = tmp_path / "final_model"
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=3)
+    model_io.save_model_dir(str(ckpt / "vae"), wrapper.config, wrapper.params)
+
+    config = {
+        "seed": 0,
+        "data": {
+            "dataset_name": "synthetic://gradients",
+            "resolution": 32,
+            "batch_size": 4,
+            "validation_split_name": "test",
+            "validation_max_samples": 16,
+            "validation_batch_size": 4,
+            "num_workers": 0,
+        },
+        "training": {"mixed_precision": "no"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    def run(n_devices, out):
+        monkeypatch.setattr(
+            parallel_pkg, "make_mesh", lambda **kw: make_mesh(n_devices=n_devices)
+        )
+        rc = evaluate_cli.main(
+            [
+                "--config_path", str(cfg_path),
+                "--checkpoint_path", str(ckpt),
+                "--eval_split", "test",
+                "--output_dir", str(out),
+                "--num_samples_to_save", "0",
+                "--enable_logit_lens", "false",
+            ]
+        )
+        assert rc == 0
+        metrics = {}
+        for line in (out / "eval_metrics.txt").read_text().splitlines():
+            if line.startswith("Average"):
+                key, val = line.split(":")
+                metrics[key] = float(val)
+        return metrics
+
+    single = run(1, tmp_path / "eval_1dev")
+    meshed = run(8, tmp_path / "eval_8dev")
+    assert single.keys() == meshed.keys()
+    for key in single:
+        assert abs(single[key] - meshed[key]) <= 1e-4 * max(
+            1.0, abs(single[key])
+        ), f"{key}: {single[key]} vs {meshed[key]}"

@@ -433,10 +433,21 @@ class Prefetcher:
         self.sharding = sharding
         self._queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
         self._sentinel = object()
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(iterator,), daemon=True
         )
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Enqueue unless a close() raced in; never blocks forever."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def _worker(self, iterator: Iterator) -> None:
         try:
@@ -446,14 +457,42 @@ class Prefetcher:
                         k: self._jax.device_put(v, self.sharding)
                         for k, v in batch.items()
                     }
-                self._queue.put(batch)
+                if not self._put(batch):
+                    break
         finally:
-            self._queue.put(self._sentinel)
+            self._put(self._sentinel)
+            # unwind the source (e.g. a generator holding a DataLoader's
+            # thread pool open) now that no more items will be drawn
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:  # noqa: BLE001 — teardown best-effort
+                    logger.debug("Prefetcher source close failed", exc_info=True)
+
+    def close(self) -> None:
+        """Stop the worker thread and release the source iterator. Safe to
+        call more than once and after exhaustion; consumers that break out
+        of iteration early (e.g. at max_train_steps, training/loop.py) must
+        call this or the worker stays parked on a full queue."""
+        self._stop.set()
+        self._thread.join(timeout=10.0)
+        if self._thread.is_alive():  # pragma: no cover — diagnostics only
+            logger.warning("Prefetcher worker did not exit within 10s")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+        return False
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self._queue.get()
         if item is self._sentinel:
             raise StopIteration

@@ -16,6 +16,7 @@ import argparse
 import logging
 import os
 import sys
+from functools import partial
 
 import numpy as np
 
@@ -95,8 +96,12 @@ def main(argv=None) -> int:
     from .models import SDXLVAEWrapper
     from .models import io as model_io
     from .ops.image_metrics import psnr_from_accumulated, ssim_per_image
-    from .parallel import make_mesh
-    from .parallel.mesh import pad_batch_to_multiple
+    from .parallel import make_mesh, replicated_sharding
+    from .parallel.mesh import (
+        batch_sharding,
+        pad_batch_to_multiple,
+        vector_sharding,
+    )
     from .utils.config_utils import as_int, load_config
     from .utils.logging_utils import setup_logging
 
@@ -173,7 +178,19 @@ def main(argv=None) -> int:
 
     module = wrapper._module()
 
-    @jax.jit
+    # Shard the eval step over the mesh like the trainer's path does: batch
+    # split on the data axis, params replicated (the reference gathers across
+    # processes instead, src/evaluate.py:222-228). Without in_shardings every
+    # batch would land on device 0 despite the n_shards batch multiplier.
+    image_sharding = batch_sharding(mesh)
+    mask_sharding = vector_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    params = jax.device_put(params, repl)
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, {"pixel_values": image_sharding}, mask_sharding),
+    )
     def eval_batch(p, batch, mask):
         out = module.apply(
             {"params": p}, batch["pixel_values"], sample_posterior=False

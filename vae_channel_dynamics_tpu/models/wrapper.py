@@ -135,15 +135,24 @@ class SDXLVAEWrapper:
 
     # ------------------------------------------------------------------ #
     # Inference helpers (sdxl_vae_wrapper.py:147-179)
-    def encode(self, pixel_values: jax.Array, rng: Optional[jax.Array] = None):
-        """Pixel values [-1, 1] -> scaled latents (scaling_factor applied)."""
-        key = ("encode",)
+    def encode(
+        self,
+        pixel_values: jax.Array,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = False,
+    ):
+        """Pixel values [-1, 1] -> scaled latents (scaling_factor applied).
+
+        ``deterministic=True`` takes the posterior mode instead of sampling
+        (the inference analog of ``sample_posterior=False``)."""
+        key = ("encode", bool(deterministic))
         if key not in self._jit_cache:
             module = self._module()
 
             def fn(params, x, rng):
                 dist = module.apply({"params": params}, x, method=module.encode)
-                return dist.sample(rng) * self.scaling_factor
+                z = dist.mode() if deterministic else dist.sample(rng)
+                return z * self.scaling_factor
 
             self._jit_cache[key] = jax.jit(fn)
         if rng is None:

@@ -99,7 +99,10 @@ def main(argv=None) -> int:
             pixels = jnp.asarray(batch["pixel_values"])
             if args.mode == "encode":
                 z = np.asarray(
-                    jax.device_get(wrapper.encode(pixels)), dtype=np.float32
+                    jax.device_get(
+                        wrapper.encode(pixels, deterministic=args.deterministic)
+                    ),
+                    dtype=np.float32,
                 )
                 np.save(os.path.join(args.output, f"latents_{bi:05d}.npy"), z)
                 n_processed += z.shape[0]

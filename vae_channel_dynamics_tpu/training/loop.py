@@ -11,6 +11,15 @@ Differences from the reference, by design:
   SURVEY.md §5a-11)
 - metrics are fetched lazily (log/epoch boundaries) to keep dispatch async
 - checkpoints can be resumed (the reference writes but never reads them)
+
+Documented deviations from reference quirks (SURVEY.md §5a):
+- §5a-5: when tracking is disabled the reference's sentinel interval -1 makes
+  ``global_step % -1 == 0`` always true, so its classifier runs EVERY step on
+  empty data. Here classification only runs inside the monitor-interval block
+  (tracking enabled, interval hit) — a deliberate fix: classifying nothing
+  every step is pure overhead and its only observable effect is log noise.
+- §5a-12: validation forwards do NOT leak into training-step stat aggregates;
+  validation uses a separate eval step with no capture taps.
 """
 
 from __future__ import annotations
@@ -161,8 +170,8 @@ class Trainer:
         process_index = jax.process_index()
         if global_batch % max(process_count, 1) != 0:
             raise ValueError(
-                f"Global batch {global_batch} must divide process count "
-                f"{process_count}"
+                f"Global batch {global_batch} must be divisible by the "
+                f"process count {process_count}"
             )
         per_process_batch = global_batch // process_count
         # Multi-host: every process must emit the SAME number of batches per
@@ -355,7 +364,16 @@ class Trainer:
 
         image_sharding = batch_sharding(mesh)
         mask_sharding = vector_sharding(mesh)
-        local_multiple = max(1, n_shards // process_count)
+
+        def _pad_multiple(loader) -> int:
+            """Single-host: pad to the device multiple (cheap). Multi-host:
+            pad every local batch to the loader's FULL per-process batch so
+            all processes always present identical shapes to
+            make_array_from_process_local_data even when collate drops bad
+            records unevenly across processes."""
+            if process_count > 1:
+                return loader.batch_size
+            return max(1, n_shards)
 
         def _uniform_cap(loader):
             """Uniform per-process batch count for multi-host epochs (every
@@ -375,6 +393,7 @@ class Trainer:
             thread, overlapping H2D transfer with device compute (the
             pin_memory/prefetch analog of data_utils.py:218-225)."""
             batch_cap = batches_per_epoch_cap if cap == "train" else _uniform_cap(loader)
+            pad_to = _pad_multiple(loader)
 
             def gen():
                 emitted = 0
@@ -388,7 +407,7 @@ class Trainer:
                         continue
                     emitted += 1
                     padded, mask = pad_batch_to_multiple(
-                        {"pixel_values": pixels}, local_multiple
+                        {"pixel_values": pixels}, pad_to
                     )
                     n_valid = int(mask.sum())
                     yield (
@@ -403,10 +422,33 @@ class Trainer:
 
             return Prefetcher(gen(), depth=2)
 
+        metric_keys = ("train_loss_step", "rec_loss", "kl_loss")
+
         for epoch in range(num_train_epochs):
-            epoch_metrics = []
+            # Epoch averages accumulate as host floats, drained from a small
+            # on-device buffer at log intervals (the fetch there is already a
+            # sync point) — long epochs must not retain thousands of device
+            # scalars until epoch end.
+            epoch_sums = dict.fromkeys(metric_keys, 0.0)
+            epoch_count = 0
+            pending_metrics: list = []
+
+            def _drain_epoch_metrics():
+                """Fetch buffered step metrics; returns the newest host dict."""
+                nonlocal epoch_count
+                if not pending_metrics:
+                    return None
+                host = jax.device_get(pending_metrics)
+                pending_metrics.clear()
+                for m in host:
+                    for k in metric_keys:
+                        epoch_sums[k] += float(m[k])
+                epoch_count += len(host)
+                return host[-1]
+
             train_loader.set_epoch(epoch)
-            for padded, mask, n_valid in _prepared_batches(train_loader):
+            train_batches = _prepared_batches(train_loader)
+            for padded, mask, n_valid in train_batches:
                 images_seen += n_valid
 
                 micro_step += 1
@@ -422,11 +464,15 @@ class Trainer:
                 fn = step_maps if want_maps else step_plain
                 state, metrics, maps = fn(state, padded, mask, base_rng)
                 tracer.maybe_stop(next_global)
-                epoch_metrics.append(metrics)
+                pending_metrics.append(metrics)
 
                 if not is_update:
                     continue
                 global_step = next_global
+                # reference parity (src/train.py:310): classification results
+                # do not persist across steps — an intervention only fires
+                # when its interval lands on a step with a fresh classification
+                classification_output = {}
 
                 # --- monitor aggregation (train.py:308-309 analog) ---
                 activity_metrics: Dict[str, float] = {}
@@ -488,8 +534,9 @@ class Trainer:
                         )
 
                 # --- logging (train.py:331-338) ---
+                if global_step % log_interval == 0:
+                    host_metrics = _drain_epoch_metrics()
                 if global_step % log_interval == 0 and is_main:
-                    host_metrics = jax.device_get(metrics)
                     # failure detection (absent in the reference, SURVEY §5):
                     # a non-finite loss means divergence — stop before
                     # burning the rest of the run, unless configured off
@@ -579,21 +626,21 @@ class Trainer:
 
                 if global_step >= max_train_steps:
                     break
+            # early break (max_train_steps) leaves the prefetch worker parked
+            # on a full queue; close() unblocks it and releases the loader
+            train_batches.close()
 
             # --- epoch summary (train.py:371-381) ---
-            if epoch_metrics and is_main:
-                host = jax.device_get(epoch_metrics)
+            _drain_epoch_metrics()
+            if epoch_count and is_main:
                 reporter.log(
                     {
-                        "train/epoch_avg_loss": float(
-                            np.mean([m["train_loss_step"] for m in host])
-                        ),
-                        "train/epoch_avg_rec_loss": float(
-                            np.mean([m["rec_loss"] for m in host])
-                        ),
-                        "train/epoch_avg_kl_loss": float(
-                            np.mean([m["kl_loss"] for m in host])
-                        ),
+                        "train/epoch_avg_loss":
+                            epoch_sums["train_loss_step"] / epoch_count,
+                        "train/epoch_avg_rec_loss":
+                            epoch_sums["rec_loss"] / epoch_count,
+                        "train/epoch_avg_kl_loss":
+                            epoch_sums["kl_loss"] / epoch_count,
                         "epoch_completed": epoch,
                     },
                     global_step,
@@ -644,14 +691,19 @@ class Trainer:
         multi-host assembly applies identically)."""
         logger.info("--- Running Validation for Global Step: %d ---", global_step)
         rec_sum = kl_sum = n = 0.0
-        for padded, mask, _n_valid in prepared_batches:
-            out = eval_step(state.params, padded, mask)
-            host = jax.device_get(
-                {k: out[k] for k in ("rec_loss_sum", "kl_sum", "num_samples")}
-            )
-            rec_sum += float(host["rec_loss_sum"])
-            kl_sum += float(host["kl_sum"])
-            n += float(host["num_samples"])
+        try:
+            for padded, mask, _n_valid in prepared_batches:
+                out = eval_step(state.params, padded, mask)
+                host = jax.device_get(
+                    {k: out[k] for k in ("rec_loss_sum", "kl_sum", "num_samples")}
+                )
+                rec_sum += float(host["rec_loss_sum"])
+                kl_sum += float(host["kl_sum"])
+                n += float(host["num_samples"])
+        finally:
+            close = getattr(prepared_batches, "close", None)
+            if close is not None:
+                close()
         avg_rec = rec_sum / n if n else 0.0
         avg_kl = kl_sum / n if n else 0.0
         avg_total = avg_rec + self.kl_weight * avg_kl
@@ -700,6 +752,11 @@ class Trainer:
                 pd.DataFrame(records).to_csv(activity_csv, index=False)
                 logger.info("Saved activation stats to %s", activity_csv)
                 summary["activity_csv"] = activity_csv
+                reporter.log_artifact(
+                    activity_csv,
+                    f"{self.run_name}_tracked_activation_stats",
+                    artifact_type="tracking_data",
+                )
 
         if dead_tracker is not None:
             DeadNeuronPlotter(

@@ -12,7 +12,7 @@ under these semantics.
 from __future__ import annotations
 
 import logging
-import os
+from pathlib import Path
 from typing import Any, Dict
 
 import yaml
@@ -20,8 +20,24 @@ import yaml
 logger = logging.getLogger(__name__)
 
 
+def _read_yaml_dict(path: Path) -> Dict[str, Any]:
+    """Parse ``path`` as YAML; an empty document yields ``{}``."""
+    with path.open("r") as fh:
+        doc = yaml.safe_load(fh)
+    if doc is None:
+        logger.warning("Empty YAML document at %s; treating as {}", path)
+        return {}
+    return doc
+
+
 def load_config(config_path: str) -> Dict[str, Any]:
     """Load a YAML config, resolving one level of ``defaults:`` inheritance.
+
+    If the experiment YAML declares ``defaults: [<name>, ...]``, the first
+    entry selects ``<name>.yaml`` next to the experiment file as the base
+    layer; the experiment's top-level keys are then laid over it with a
+    shallow merge (nested sections replace the base's wholesale — a
+    load-bearing quirk, see SURVEY.md §5).
 
     Args:
         config_path: Path to the experiment YAML.
@@ -33,40 +49,28 @@ def load_config(config_path: str) -> Dict[str, Any]:
         FileNotFoundError: if the config or its base does not exist.
         yaml.YAMLError: on YAML parse errors.
     """
-    if not os.path.exists(config_path):
+    exp_path = Path(config_path)
+    if not exp_path.exists():
         raise FileNotFoundError(f"Configuration file not found: {config_path}")
 
-    final_config: Dict[str, Any] = {}
+    overlay = _read_yaml_dict(exp_path)
 
-    with open(config_path, "r") as f:
-        config = yaml.safe_load(f)
+    defaults = overlay.get("defaults")
+    if not isinstance(defaults, list) or not defaults:
+        logger.info("Loaded config %s (no defaults layer)", config_path)
+        return overlay
+    del overlay["defaults"]
 
-    if config is None:
-        logger.warning("Config file is empty: %s", config_path)
-        config = {}
-
-    if "defaults" in config and isinstance(config["defaults"], list):
-        base_config_name = config["defaults"][0]
-        base_config_path = os.path.join(
-            os.path.dirname(config_path), f"{base_config_name}.yaml"
+    base_path = exp_path.parent / f"{defaults[0]}.yaml"
+    logger.info("Resolving defaults layer %s for %s", base_path, config_path)
+    if not base_path.exists():
+        raise FileNotFoundError(
+            f"Base configuration file not found: {base_path}"
         )
-        logger.info("Loading base configuration from: %s", base_config_path)
-        if not os.path.exists(base_config_path):
-            raise FileNotFoundError(
-                f"Base configuration file not found: {base_config_path}"
-            )
-        with open(base_config_path, "r") as bf:
-            base_config = yaml.safe_load(bf)
-            if base_config:
-                final_config.update(base_config)
-        del config["defaults"]
-
-    # Shallow top-level merge: nested dicts from the experiment file replace
-    # the base's wholesale (load-bearing quirk; see SURVEY.md §5).
-    final_config.update(config)
-
-    logger.info("Successfully loaded configuration from %s", config_path)
-    return final_config
+    merged = _read_yaml_dict(base_path)
+    merged.update(overlay)
+    logger.info("Loaded config %s over base %s", config_path, base_path.name)
+    return merged
 
 
 def as_float(value: Any, default: float) -> float:

@@ -27,6 +27,13 @@ class Reporter:
     def log(self, metrics: Dict[str, Any], step: int) -> None:  # pragma: no cover
         raise NotImplementedError
 
+    def log_artifact(
+        self, path: str, name: str, artifact_type: str = "dataset"
+    ) -> None:
+        """Upload a run artifact file. Only backends with artifact stores
+        (wandb; src/train.py:427-432) act on this — others no-op, since the
+        file already lives in the run directory."""
+
     def finish(self) -> None:
         pass
 
@@ -86,6 +93,19 @@ class WandbReporter(Reporter):
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         self._wandb.log(metrics, step=step)
 
+    def log_artifact(
+        self, path: str, name: str, artifact_type: str = "dataset"
+    ) -> None:
+        """wandb Artifact upload (reference: src/train.py:427-432 uploads
+        tracked_activation_stats.csv the same way)."""
+        try:
+            artifact = self._wandb.Artifact(name, type=artifact_type)
+            artifact.add_file(path)
+            self._wandb.log_artifact(artifact)
+            logger.info("Uploaded artifact %s (%s)", name, path)
+        except Exception as e:  # noqa: BLE001 — artifact upload best-effort
+            logger.warning("Artifact upload failed for %s: %s", path, e)
+
     def finish(self) -> None:
         self._wandb.finish()
 
@@ -97,6 +117,12 @@ class MultiReporter(Reporter):
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         for r in self.reporters:
             r.log(metrics, step)
+
+    def log_artifact(
+        self, path: str, name: str, artifact_type: str = "dataset"
+    ) -> None:
+        for r in self.reporters:
+            r.log_artifact(path, name, artifact_type)
 
     def finish(self) -> None:
         for r in self.reporters:
