@@ -9,6 +9,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip",
    "vs_baseline": N, ...extras}
 Baseline target: 3000 images/sec/chip on TPU v5e (BASELINE.md).
+
+``--mesh`` mode (multi-chip scaling evidence within a 1-chip environment):
+weak-scales the REAL sharded train step over 1/2/4/8-device CPU meshes
+(fixed per-device batch) and reports parallel efficiency, plus an ICI-model
+projection of v5e-8 throughput from the measured single-chip number.
 """
 
 from __future__ import annotations
@@ -19,6 +24,17 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MESH_MODE = "--mesh" in sys.argv
+
+if MESH_MODE:
+    # a virtual 8-device CPU mesh: must be configured before jax import
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 from vae_channel_dynamics_tpu.utils.platform import apply_platform_env
 
@@ -68,9 +84,11 @@ def _tracking_config():
     }
 
 
-def build_step(cfg, batch, resolution, capture_table, params, remat):
+def build_step(cfg, batch, resolution, capture_table, params, remat,
+               impl="auto"):
     module = AutoencoderKL(
-        config=cfg, dtype=jnp.bfloat16, capture=capture_table, remat=remat
+        config=cfg, dtype=jnp.bfloat16, capture=capture_table, remat=remat,
+        impl=impl,
     )
     tx, _ = build_optimizer(1e-5, warmup_steps=10, max_train_steps=10_000)
     if capture_table:
@@ -108,9 +126,9 @@ def time_steps(step, state, batch_np, mask, rng, warmup=3, iters=10):
     return (t2 - t1) / iters, state
 
 
-def build_forward(cfg, params):
+def build_forward(cfg, params, impl="auto"):
     """Serving path: deterministic encode->decode (no grad, no optimizer)."""
-    module = AutoencoderKL(config=cfg, dtype=jnp.bfloat16)
+    module = AutoencoderKL(config=cfg, dtype=jnp.bfloat16, impl=impl)
 
     @jax.jit
     def fwd(params, pixels):
@@ -135,7 +153,111 @@ def time_forward(fwd, params, data, warmup=3, iters=10):
     return (t2 - t1) / iters
 
 
+def mesh_bench() -> int:
+    """Weak-scaling of the sharded train step over CPU meshes of 1/2/4/8
+    devices (fixed per-device batch), plus a projected v5e-8 number.
+
+    The CPU mesh runs the IDENTICAL SPMD program (same shardings, same XLA
+    collectives) as a real 8-chip slice — but all virtual devices share this
+    host's single physical core, so step TIME grows with total work. The
+    meaningful scaling signal is the per-image cost staying flat as the mesh
+    widens (a program that serialized on collectives or host syncs would
+    inflate it); absolute speed is meaningless on CPU and the v5e-8
+    projection instead composes the measured single-chip throughput with an
+    ICI all-reduce model."""
+    import jax
+    import numpy as np
+
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+    from vae_channel_dynamics_tpu.parallel.mesh import replicated_sharding
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+
+    cfg = VAEConfig.tiny()
+    resolution, per_device_batch = 32, 4
+    module = AutoencoderKL(config=cfg, dtype=jnp.bfloat16)
+    sample = jnp.zeros((1, resolution, resolution, 3))
+    params_host = jax.device_get(
+        module.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            sample,
+            sample_posterior=False,
+        )["params"]
+    )
+    rng = jax.random.PRNGKey(2)
+
+    times = {}
+    for n in (1, 2, 4, 8):
+        if n > len(jax.devices()):
+            break
+        mesh = make_mesh(n)
+        tx, _ = build_optimizer(1e-5, warmup_steps=10, max_train_steps=10_000)
+        state = TrainState.create(jax.device_put(params_host), tx, stats_acc={})
+        state = jax.device_put(state, replicated_sharding(mesh))
+        step = make_train_step(module, tx, 1e-6, mesh=mesh)
+        batch_n = per_device_batch * n
+        data = (
+            np.random.default_rng(0)
+            .uniform(-1, 1, (batch_n, resolution, resolution, 3))
+            .astype(np.float32)
+        )
+        mask = np.ones(batch_n, np.float32)
+        dt, _ = time_steps(
+            step, state, {"pixel_values": data}, mask, rng, warmup=2, iters=8
+        )
+        times[n] = dt
+        print(
+            f"# mesh={n}: {dt*1e3:.1f} ms/step (global batch {batch_n}), "
+            f"{dt*1e3/batch_n:.1f} ms/image "
+            f"(1-device mesh: {times[1]*1e3/per_device_batch:.1f})",
+            file=sys.stderr,
+        )
+
+    # v5e-8 projection: measured single-chip throughput + ring all-reduce of
+    # the fp32 gradients over ICI, conservatively NOT overlapped with compute.
+    # 83.65M params * 4 B = 334.6 MB; effective per-chip all-reduce bandwidth
+    # assumed 1e11 B/s (below v5e's nominal ICI aggregate).
+    single_chip_ips = float(os.environ.get("BENCH_SINGLE_CHIP_IPS", "60.7"))
+    single_chip_batch = 24
+    grad_bytes = 83_653_863 * 4
+    n_chips = 8
+    step_s = single_chip_batch / single_chip_ips
+    allreduce_s = 2.0 * grad_bytes * (n_chips - 1) / n_chips / 1e11
+    projected_ips = single_chip_batch * n_chips / (step_s + allreduce_s)
+    # per-image cost ratio vs the 1-device mesh on the SAME single physical
+    # core: ~>=1.0 means the widened SPMD program added no serialization
+    # (>1 = per-image cost actually dropped); host-sync-per-shard bugs or
+    # collective serialization would push it well below 1
+    efficiency = {n: round(times[1] * n / t, 4) for n, t in times.items()}
+    result = {
+        "metric": "mesh_per_image_cost_ratio@8dev_cpu_1core",
+        "value": efficiency.get(8, 0.0),
+        "unit": "x (>=1.0 = no serialization added)",
+        "vs_baseline": efficiency.get(8, 0.0),
+        "step_ms_by_mesh": {n: round(t * 1e3, 2) for n, t in times.items()},
+        "per_image_cost_ratio": efficiency,
+        "projected_v5e8_images_per_sec": round(projected_ips, 1),
+        "projected_v5e8_parallel_efficiency": round(
+            projected_ips / (single_chip_ips * n_chips), 4
+        ),
+        "projection_assumptions": (
+            f"single-chip {single_chip_ips} img/s @256px batch "
+            f"{single_chip_batch}; fp32 grad ring all-reduce of "
+            f"{grad_bytes/1e6:.0f} MB at 100 GB/s effective ICI, "
+            "not overlapped with compute"
+        ),
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
+    if MESH_MODE:
+        return mesh_bench()
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     resolution = int(os.environ.get("BENCH_RESOLUTION", "256" if on_tpu else "32"))
@@ -204,6 +326,36 @@ def main() -> int:
                           "vs_baseline": 0}))
         return 1
 
+    # fused Pallas resnet path (gn+silu+conv single-kernel) at the best batch
+    best_impl = "auto"
+    fused_ips = None
+    if on_tpu and os.environ.get("BENCH_FUSED", "1") == "1":
+        try:
+            batch = best["batch"]
+            data = jax.device_put(
+                np.random.default_rng(0)
+                .uniform(-1, 1, (batch, resolution, resolution, 3))
+                .astype(np.float32)
+            )
+            mask = jnp.ones(batch, jnp.float32)
+            params = jax.device_put(params_host)
+            step_f, state_f = build_step(
+                cfg, batch, resolution, (), params, remat, impl="fused"
+            )
+            dt_f, _ = time_steps(step_f, state_f, {"pixel_values": data}, mask, rng)
+            fused_ips = batch / dt_f
+            print(
+                f"# fused resnet kernels: {dt_f*1e3:.1f} ms/step, "
+                f"{fused_ips:.1f} img/s (xla: {best['ips']:.1f})",
+                file=sys.stderr,
+            )
+            if fused_ips > best["ips"]:
+                best = {"batch": batch, "ips": fused_ips, "dt": dt_f}
+                best_impl = "fused"
+        except Exception as e:  # noqa: BLE001
+            print(f"# fused bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # tracking overhead at the best batch size
     overhead_pct = None
     try:
@@ -217,7 +369,8 @@ def main() -> int:
         monitor = ActivityMonitor(_tracking_config())
         params = jax.device_put(params_host)
         step_t, state_t = build_step(
-            cfg, batch, resolution, monitor.scalar_capture_table, params, remat
+            cfg, batch, resolution, monitor.scalar_capture_table, params,
+            remat, impl=best_impl,
         )
         dt_tracked, _ = time_steps(step_t, state_t, {"pixel_values": data}, mask, rng)
         overhead_pct = (dt_tracked - best["dt"]) / best["dt"] * 100.0
@@ -239,7 +392,7 @@ def main() -> int:
             .astype(np.float32)
         )
         params = jax.device_put(params_host)
-        fwd = build_forward(cfg, params)
+        fwd = build_forward(cfg, params, impl=best_impl)
         dt_fwd = time_forward(fwd, params, data)
         forward_ips = batch / dt_fwd
         print(
@@ -257,6 +410,10 @@ def main() -> int:
         "batch": best["batch"],
         "step_ms": round(best["dt"] * 1e3, 2),
         "platform": platform,
+        "kernel_impl": best_impl,
+        "fused_images_per_sec": (
+            round(fused_ips, 2) if fused_ips is not None else None
+        ),
         "tracking_overhead_pct": (
             round(overhead_pct, 2) if overhead_pct is not None else None
         ),

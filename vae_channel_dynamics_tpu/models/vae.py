@@ -149,16 +149,19 @@ class TapModule(nn.Module):
             s for s in self.capture if s[0] == self.full_name and s[1] == point
         )
 
+    def sow_stat(self, key: str, value: jax.Array) -> None:
+        self.sow(
+            "stats",
+            key,
+            value,
+            reduce_fn=lambda old, new: new,
+            init_fn=lambda: None,
+        )
+
     def tap(self, x: jax.Array, point: str) -> None:
         for layer_name, pt, metrics in self._specs_for(point):
             for metric, value in channel_stats(x, tuple(metrics)).items():
-                self.sow(
-                    "stats",
-                    f"{layer_name}.{pt}.{metric}",
-                    value,
-                    reduce_fn=lambda old, new: new,
-                    init_fn=lambda: None,
-                )
+                self.sow_stat(f"{layer_name}.{pt}.{metric}", value)
 
 
 class VConv(TapModule):
@@ -183,8 +186,7 @@ class VConv(TapModule):
     capture: CaptureTable = ()
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        self.tap(x, "input")
+    def __call__(self, x: jax.Array, params_only: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -193,6 +195,13 @@ class VConv(TapModule):
         )
         fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
         bias = self.param("bias", _torch_bias_init(fan_in), (self.features,))
+        if params_only:
+            # fused-kernel path (ResnetBlock2D): the parameters are created
+            # under this module's scope exactly as in the normal path (same
+            # names, shapes, init RNG streams), but the compute happens in
+            # the parent's fused Pallas op; x is only a shape carrier here
+            return kernel, bias
+        self.tap(x, "input")
         if self.fuse_nearest_upsample:
             w4 = jnp.zeros((4, 4) + kernel.shape[2:], kernel.dtype)
             for p in (0, 1):
@@ -264,11 +273,13 @@ class VGroupNorm(TapModule):
     capture: CaptureTable = ()
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        self.tap(x, "input")
+    def __call__(self, x: jax.Array, params_only: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if params_only:
+            return scale, bias  # see VConv.__call__: fused-path param access
+        self.tap(x, "input")
         tapped = bool(self._specs_for("output"))
         if self.fuse_silu and not tapped:
             return group_norm(
@@ -283,9 +294,26 @@ class VGroupNorm(TapModule):
         return silu(y) if self.fuse_silu else y
 
 
+# scalar metrics the fused resnet kernel can emit for gn outputs in-kernel
+_FUSED_TAP_METRICS = frozenset({"mean_abs_activation_per_channel"})
+
+
 class ResnetBlock2D(TapModule):
     """norm1+SiLU -> conv1 -> norm2+SiLU -> conv2, residual with optional
-    1x1 conv_shortcut when channel counts differ (diffusers ResnetBlock2D)."""
+    1x1 conv_shortcut when channel counts differ (diffusers ResnetBlock2D).
+
+    ``impl="fused"`` computes each norm+SiLU+conv as ONE Pallas TPU kernel
+    (``ops.pallas_resnet.gn_silu_conv3x3``): the normalize/affine/SiLU happens
+    in the conv's input read and the residual add in its epilogue, removing
+    the FLOP-free HBM passes XLA keeps between the norm and the conv. The
+    ``norm*.output`` activation taps come back as in-kernel side outputs
+    (per-channel |gn| sums) instead of separate reductions — the zero-cost
+    replacement for the reference's forward hooks
+    (src/tracking/monitor.py:82-139). Falls back to the unfused path per
+    block when shapes/dtype are ineligible or a requested capture needs a
+    tensor the fusion never materializes (conv1.input, conv2 output
+    pre-residual, or non-|x| metrics of the gn outputs).
+    """
 
     in_channels: int = 0
     out_channels: int = 0
@@ -321,6 +349,8 @@ class ResnetBlock2D(TapModule):
             )
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self._fused_ok(x):
+            return self._forward_fused(x)
         h = self.norm1(x)
         h = self.conv1(h)
         h = self.norm2(h)
@@ -328,6 +358,116 @@ class ResnetBlock2D(TapModule):
         if self.in_channels != self.out_channels:
             x = self.conv_shortcut(x)
         return x + h
+
+    # ------------------------------------------------------------------ #
+    # Fused Pallas path
+    # ------------------------------------------------------------------ #
+    def _sub_specs(self, sub: str, point: str) -> Tuple[CaptureSpec, ...]:
+        name = f"{self.full_name}.{sub}"
+        return tuple(
+            s for s in self.capture if s[0] == name and s[1] == point
+        )
+
+    def _fused_captures_ok(self) -> bool:
+        """Every capture under this block must target a tensor the fused
+        path materializes (x, conv1 output, shortcut in/out) or a gn-output
+        metric the kernel emits as a side output."""
+        prefix = f"{self.full_name}."
+        materialized = {
+            ("norm1", "input"),
+            ("norm2", "input"),
+            ("conv1", "output"),
+            ("conv_shortcut", "input"),
+            ("conv_shortcut", "output"),
+        }
+        for layer, point, metrics in self.capture:
+            if not layer.startswith(prefix):
+                continue
+            sub = layer[len(prefix):]
+            if (sub, point) in materialized:
+                continue
+            if (
+                (sub, point) in (("norm1", "output"), ("norm2", "output"))
+                and set(metrics) <= _FUSED_TAP_METRICS
+            ):
+                continue
+            return False
+        return True
+
+    # Fuse only at small spatial sizes, where the XLA op sequence is
+    # latency/bandwidth-bound and the single-pass kernel wins (measured on
+    # v5e, batch 8: 512ch@32px fused 72us vs XLA 177us fwd, 365 vs 440us
+    # fwd+bwd). At large spatial sizes XLA's conv already runs at ~100% MFU
+    # with the norm fully hidden behind it (512ch@64px: 760us vs a 784us
+    # pure-conv roofline) and the fused kernel LOSES (894us) — there is no
+    # elementwise time left to reclaim, so those shapes stay on XLA.
+    # experiments/fused_bench.py reproduces the sweep.
+    _FUSED_MAX_HW = 1024  # 32x32: the measured win/loss crossover
+
+    def _fused_ok(self, x: jax.Array) -> bool:
+        if self.impl != "fused":
+            return False
+        from ..ops import pallas_resnet
+
+        if self.dtype != jnp.bfloat16:
+            return False  # f32 parity requires HIGHEST-precision XLA convs
+        n, h, w, _ = x.shape
+        if h * w > self._FUSED_MAX_HW:
+            return False
+        mid = jax.ShapeDtypeStruct((n, h, w, self.out_channels), jnp.bfloat16)
+        return (
+            pallas_resnet.eligible(x, self.out_channels, self.num_groups)
+            and pallas_resnet.eligible(mid, self.out_channels, self.num_groups)
+            and self._fused_captures_ok()
+        )
+
+    def _tap_materialized(self, sub: str, point: str, x: jax.Array) -> None:
+        for layer_name, pt, metrics in self._sub_specs(sub, point):
+            for metric, value in channel_stats(x, tuple(metrics)).items():
+                self.sow_stat(f"{layer_name}.{pt}.{metric}", value)
+
+    def _forward_fused(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_resnet import gn_silu_conv3x3
+
+        x = x.astype(self.dtype)
+        n, hh, ww, _ = x.shape
+        denom = float(n * hh * ww)
+        g1, gb1 = self.norm1(x, params_only=True)
+        k1, kb1 = self.conv1(x, params_only=True)
+        self._tap_materialized("norm1", "input", x)
+        emit1 = bool(self._sub_specs("norm1", "output"))
+        h, tap1, _ = gn_silu_conv3x3(
+            x, g1, gb1, k1, kb1,
+            num_groups=self.num_groups, eps=self.eps, emit_tap=emit1,
+        )
+        if tap1 is not None:
+            self.sow_stat(
+                f"{self.full_name}.norm1.output."
+                "mean_abs_activation_per_channel",
+                jnp.sum(tap1, axis=0) / denom,
+            )
+        residual = (
+            self.conv_shortcut(x)
+            if self.in_channels != self.out_channels
+            else x
+        )
+        g2, gb2 = self.norm2(h, params_only=True)
+        k2, kb2 = self.conv2(h, params_only=True)
+        self._tap_materialized("conv1", "output", h)
+        self._tap_materialized("norm2", "input", h)
+        emit2 = bool(self._sub_specs("norm2", "output"))
+        y, tap2, _ = gn_silu_conv3x3(
+            h, g2, gb2, k2, kb2,
+            num_groups=self.num_groups, eps=self.eps,
+            residual=residual.astype(self.dtype), emit_tap=emit2,
+        )
+        if tap2 is not None:
+            self.sow_stat(
+                f"{self.full_name}.norm2.output."
+                "mean_abs_activation_per_channel",
+                jnp.sum(tap2, axis=0) / denom,
+            )
+        return y
 
 
 class AttentionBlock(TapModule):

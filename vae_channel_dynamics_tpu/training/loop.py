@@ -61,7 +61,12 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
     """Resolve ``model.pretrained_vae_name``: a local model dir is loaded
     (the evaluate-CLI artifact or a converted diffusers checkpoint); an
     unreachable HF Hub id falls back to seeded from-scratch init with a
-    warning (this environment has no network egress)."""
+    warning (this environment has no network egress).
+
+    ``model.kernel_impl`` selects the compute-kernel path: ``auto`` (XLA,
+    with fused Pallas resnets on TPU), ``xla``, ``pallas`` (standalone GN
+    kernels), or ``fused`` (Pallas gn+silu+conv resnet kernels)."""
+    impl = str(model_config.get("kernel_impl", "auto"))
     name = model_config.get("pretrained_vae_name", "stabilityai/sdxl-vae")
     arch = model_config.get("architecture", "sdxl")
     if name and os.path.isdir(name) and os.path.exists(
@@ -69,7 +74,7 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
     ):
         cfg, params = model_io.load_model_dir(name)
         logger.info("Loaded VAE weights from local dir: %s", name)
-        return SDXLVAEWrapper(config=cfg, params=params, dtype=dtype)
+        return SDXLVAEWrapper(config=cfg, params=params, dtype=dtype, impl=impl)
     cfg = VAEConfig.tiny() if arch == "tiny" else VAEConfig.sdxl()
     if name and not os.path.isdir(name):
         logger.warning(
@@ -78,7 +83,8 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
             name, arch,
         )
     return SDXLVAEWrapper(
-        config=cfg, dtype=dtype, seed=int(model_config.get("init_seed", 0))
+        config=cfg, dtype=dtype, seed=int(model_config.get("init_seed", 0)),
+        impl=impl,
     )
 
 
@@ -147,6 +153,16 @@ class Trainer:
         else:
             dtype = jnp.float32
         wrapper = resolve_model(config.get("model", {}), dtype)
+        if wrapper.impl == "fused" and mesh.size > 1:
+            # GSPMD cannot partition the fused Pallas custom calls across a
+            # sharded batch/spatial axis — it would insert full gathers.
+            # Fused kernels are a single-device optimization today.
+            logger.warning(
+                "model.kernel_impl='fused' is single-device only; the mesh "
+                "has %d devices — falling back to kernel_impl='auto'.",
+                mesh.size,
+            )
+            wrapper.impl = "auto"
         vae_config = wrapper.config
         params = wrapper.params
 
@@ -305,7 +321,7 @@ class Trainer:
 
         # ---------------- jitted steps ---------------- #
         module_plain = AutoencoderKL(
-            config=vae_config, dtype=dtype,
+            config=vae_config, dtype=dtype, impl=wrapper.impl,
             capture=monitor.scalar_capture_table,
         )
         batch_shape = (global_batch, resolution, resolution, vae_config.in_channels)
@@ -325,7 +341,7 @@ class Trainer:
         step_maps = None
         if monitor.enabled and monitor.map_keys:
             module_maps = AutoencoderKL(
-                config=vae_config, dtype=dtype,
+                config=vae_config, dtype=dtype, impl=wrapper.impl,
                 capture=monitor.map_capture_table,
             )
             step_maps = make_train_step(
