@@ -90,7 +90,9 @@ def test_model_integration_pallas_impl(data):
 
 
 def test_in_kernel_stat_side_output(data):
-    """The normalize kernel's |y| side output must equal the hook metric."""
+    """The normalize kernel's |z| side output must equal the hook metric —
+    the PRE-SiLU norm output, matching the reference hook placement
+    (monitor.py:64-69: on the norm module, before the separate SiLU)."""
     from vae_channel_dynamics_tpu.ops.pallas_group_norm import (
         group_norm_silu_with_stats,
     )
@@ -101,9 +103,61 @@ def test_in_kernel_stat_side_output(data):
     x, scale, bias = data
     y, mean_abs = group_norm_silu_with_stats(x, scale, bias, G, 1e-6, True)
     ref_y = _group_norm_xla(x, scale, bias, G, 1e-6, True)
+    ref_z = _group_norm_xla(x, scale, bias, G, 1e-6, False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(mean_abs),
-        np.asarray(mean_abs_activation_per_channel(ref_y)),
+        np.asarray(mean_abs_activation_per_channel(ref_z)),
         rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_stats_variant_gradients(data):
+    """group_norm_silu_with_stats is differentiable; the stat output is
+    stop-gradient and the y-gradients match the plain kernel's."""
+    from vae_channel_dynamics_tpu.ops.pallas_group_norm import (
+        group_norm_silu_with_stats,
+    )
+
+    x, scale, bias = data
+
+    def loss_stats(x, s, b):
+        y, mean_abs = group_norm_silu_with_stats(x, s, b, G, 1e-6, True)
+        return jnp.sum(y * jnp.cos(y)) + 0.0 * jnp.sum(mean_abs)
+
+    def loss_plain(x, s, b):
+        y = group_norm_silu(x, s, b, G, 1e-6, True)
+        return jnp.sum(y * jnp.cos(y))
+
+    gs = jax.grad(loss_stats, argnums=(0, 1, 2))(x, scale, bias)
+    gp = jax.grad(loss_plain, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_, name in zip(gs, gp, ("dx", "dgamma", "dbeta")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-6, err_msg=name
+        )
+
+
+def test_vgroupnorm_pallas_tap_wiring(data):
+    """VGroupNorm with impl='pallas' and a mean_abs output tap uses the
+    in-kernel side output: same y as the split XLA path, same sown stat."""
+    from vae_channel_dynamics_tpu.models.vae import VGroupNorm, flatten_stats
+
+    x, _, _ = data
+    cap = (("m.norm", "output", ("mean_abs_activation_per_channel",)),)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        mod = VGroupNorm(
+            num_groups=G, eps=1e-6, fuse_silu=True, impl=impl,
+            full_name="m.norm", capture=cap,
+        )
+        v = mod.init({"params": jax.random.PRNGKey(0)}, x)
+        y, aux = mod.apply(v, x, mutable=["stats"])
+        outs[impl] = (np.asarray(y), flatten_stats(aux["stats"]))
+    y_x, s_x = outs["xla"]
+    y_p, s_p = outs["pallas"]
+    np.testing.assert_allclose(y_p, y_x, rtol=2e-5, atol=2e-5)
+    key = "m.norm.output.mean_abs_activation_per_channel"
+    assert sorted(s_x) == sorted(s_p) == [key]
+    np.testing.assert_allclose(
+        np.asarray(s_p[key]), np.asarray(s_x[key]), rtol=1e-5, atol=1e-6
     )

@@ -280,18 +280,43 @@ class VGroupNorm(TapModule):
         if params_only:
             return scale, bias  # see VConv.__call__: fused-path param access
         self.tap(x, "input")
-        tapped = bool(self._specs_for("output"))
-        if self.fuse_silu and not tapped:
+        out_specs = self._specs_for("output")
+        if self.fuse_silu and not out_specs:
             return group_norm(
                 x, scale, bias, self.num_groups, self.eps, fuse_silu=True,
                 impl=self.impl,
             )
+        if self._pallas_stats_ok(x, out_specs):
+            # impl="pallas" + a mean_abs output tap: the normalize kernel
+            # emits the per-channel |z| sums in its own write pass, so the
+            # SiLU fusion survives the tap (the XLA path must split it)
+            from ..ops.pallas_group_norm import group_norm_silu_with_stats
+
+            y, mean_abs = group_norm_silu_with_stats(
+                x, scale, bias, self.num_groups, self.eps,
+                fuse_silu=self.fuse_silu,
+            )
+            self.sow_stat(
+                f"{self.full_name}.output.mean_abs_activation_per_channel",
+                mean_abs,
+            )
+            return y
         y = group_norm(
             x, scale, bias, self.num_groups, self.eps, fuse_silu=False,
             impl=self.impl,
         )
         self.tap(y, "output")
         return silu(y) if self.fuse_silu else y
+
+    def _pallas_stats_ok(self, x: jax.Array, out_specs) -> bool:
+        if self.impl != "pallas" or not out_specs:
+            return False
+        if any(set(m) != {"mean_abs_activation_per_channel"}
+               for _, _, m in out_specs):
+            return False
+        from ..ops import pallas_group_norm
+
+        return pallas_group_norm.eligible(x, self.num_groups, self.impl)
 
 
 # scalar metrics the fused resnet kernel can emit for gn outputs in-kernel

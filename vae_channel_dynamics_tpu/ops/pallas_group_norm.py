@@ -133,17 +133,18 @@ def _normalize_kernel(x_ref, a_ref, b_ref, y_ref, *, fuse_silu: bool):
 
 def _normalize_stats_kernel(x_ref, a_ref, b_ref, y_ref, abs_ref,
                             *, fuse_silu: bool):
-    """Normalize pass that additionally emits the per-channel |y| running
-    sum as a side output — per-channel activation statistics for free during
-    the write pass (the in-kernel replacement for the reference's hook
-    metric mean_abs_activation_per_channel, src/tracking/monitor.py:64-69)."""
+    """Normalize pass that additionally emits the per-channel |z| running
+    sum of the PRE-SiLU norm output as a side output — per-channel
+    activation statistics for free during the write pass (the in-kernel
+    replacement for the reference's hook metric
+    mean_abs_activation_per_channel, src/tracking/monitor.py:64-69; the
+    hook observes the norm module's output, before the separate SiLU)."""
     j = pl.program_id(1)
     xf = x_ref[0].astype(jnp.float32)
-    y = xf * a_ref[0] + b_ref[0]
-    if fuse_silu:
-        y = y * jax.nn.sigmoid(y)
+    z = xf * a_ref[0] + b_ref[0]
+    y = z * jax.nn.sigmoid(z) if fuse_silu else z
     y_ref[0] = y.astype(y_ref.dtype)
-    s = jnp.sum(jnp.abs(y), axis=0, keepdims=True)[None]  # (1, 1, C)
+    s = jnp.sum(jnp.abs(z), axis=0, keepdims=True)[None]  # (1, 1, C)
 
     @pl.when(j == 0)
     def _():
@@ -382,6 +383,32 @@ def group_norm_silu(
     return y.reshape(b, h, w, c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _group_norm_silu_stats(x3, scale, bias, num_groups, eps, fuse_silu):
+    out, _res = _fwd_stats(x3, scale, bias, num_groups, eps, fuse_silu)
+    return out
+
+
+def _fwd_stats(x3, scale, bias, num_groups, eps, fuse_silu):
+    bsz, hw, c = x3.shape
+    sums, sqs = _channel_sums(x3)
+    sums, sqs = sums[:, 0], sqs[:, 0]
+    mean, rstd = _group_stats(sums, sqs, hw, num_groups, eps)
+    a, b = _affine_coeffs(mean, rstd, scale, bias, num_groups, c)
+    y, abs_sum = _apply_normalize(x3, a, b, fuse_silu, with_abs_stats=True)
+    return (y, abs_sum), (x3, scale, bias, mean, rstd, a, b)
+
+
+def _bwd_stats(num_groups, eps, fuse_silu, res, cotangents):
+    # the |z| side output is an auxiliary statistic: non-differentiable by
+    # contract (the trainer accumulates it outside the loss)
+    g3, _g_stats = cotangents
+    return _bwd(num_groups, eps, fuse_silu, res, g3)
+
+
+_group_norm_silu_stats.defvjp(_fwd_stats, _bwd_stats)
+
+
 def group_norm_silu_with_stats(
     x: jax.Array,
     scale: jax.Array,
@@ -390,21 +417,21 @@ def group_norm_silu_with_stats(
     eps: float = 1e-6,
     fuse_silu: bool = False,
 ):
-    """Forward-only GroupNorm(+SiLU) that also returns
-    ``mean_abs_activation_per_channel`` of the output, computed INSIDE the
-    normalize kernel's write pass (zero extra memory traffic). Returns
-    ``(y, mean_abs)`` with ``mean_abs`` shape (C,), averaged over batch and
-    spatial positions — the reference hook-metric convention
-    (monitor.py:64-69)."""
+    """GroupNorm(+SiLU) that also returns
+    ``mean_abs_activation_per_channel`` of the PRE-SiLU norm output,
+    computed INSIDE the normalize kernel's write pass (zero extra memory
+    traffic). Differentiable w.r.t. ``x``/``scale``/``bias`` (the stat is
+    stop-gradient). Returns ``(y, mean_abs)`` with ``mean_abs`` shape (C,),
+    averaged over batch and spatial positions — the reference hook-metric
+    convention (monitor.py:64-69: the hook is on the norm module, whose
+    output precedes the separate SiLU). Wired into ``VGroupNorm`` for
+    ``impl="pallas"`` output taps, where it keeps the norm+SiLU fusion that
+    the XLA path must split when tapped."""
     b, h, w, c = x.shape
     x3 = x.reshape(b, h * w, c)
-    sums, sqs = _channel_sums(x3)
-    sums, sqs = sums[:, 0], sqs[:, 0]
-    mean, rstd = _group_stats(sums, sqs, h * w, num_groups, eps)
-    a, off = _affine_coeffs(
-        mean, rstd, scale.astype(jnp.float32), bias.astype(jnp.float32),
-        num_groups, c,
+    y, abs_sum = _group_norm_silu_stats(
+        x3, scale.astype(jnp.float32), bias.astype(jnp.float32),
+        num_groups, float(eps), bool(fuse_silu),
     )
-    y, abs_sum = _apply_normalize(x3, a, off, fuse_silu, with_abs_stats=True)
-    mean_abs = jnp.sum(abs_sum, axis=0) / (b * h * w)
+    mean_abs = jax.lax.stop_gradient(jnp.sum(abs_sum, axis=0)) / (b * h * w)
     return y.reshape(b, h, w, c), mean_abs

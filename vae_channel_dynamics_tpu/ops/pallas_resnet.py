@@ -14,10 +14,17 @@ This module fuses the normalize+affine+SiLU into the conv's INPUT READ:
 
 The conv is computed as three MXU matmuls per row-tile over a halo window
 (left/center/right W-shifts concatenated to a (rows, 3*Cin) operand — the
-measured-fastest formulation; experiments/conv_bench.py: 209 TF/s vs XLA's
-203 on the 512ch@64px decoder shape). Halo windows use ``pl.Element``
-blocks; Mosaic supports only high out-of-bounds padding, so the first row
-tile is realigned in-kernel with a zero row.
+measured-fastest Pallas formulation; experiments/conv_bench.py sweep). Halo
+windows use ``pl.Element`` blocks; Mosaic supports only high out-of-bounds
+padding, so the first row tile is realigned in-kernel with a zero row.
+
+PRODUCTION STATUS (measured, PERF.md "Fused GN+SiLU+conv resnet kernels"):
+the fused path wins standalone only at small spatial sizes (2.46x at
+512ch@32px) and LOSES end-to-end even when gated to those shapes (406 vs
+393 ms/step @256px) — XLA hides the norm behind its convs and custom-call
+boundaries block fusion. The model therefore defaults to XLA; this kernel
+is opt-in via ``model.kernel_impl: "fused"`` / ``ResnetBlock2D(impl=
+"fused")``, fully tested and gradient-correct.
 
 Side outputs (free during the same pass):
 - per-channel sum of |z| — ``mean_abs_activation_per_channel`` of the GN
