@@ -268,7 +268,14 @@ def main() -> int:
     )
     # Measured on v5e: activations fit HBM without remat up to batch 16 at
     # 256px, and skipping the recompute is worth ~14% (51.6 vs 45.3 img/s).
-    remat = os.environ.get("BENCH_REMAT", "0") == "1" and on_tpu
+    # BENCH_REMAT: 0/none (default), 1/full (block remat), conv (save conv
+    # outputs, recompute elementwise only).
+    remat_env = os.environ.get("BENCH_REMAT", "0")
+    remat = {
+        "0": False, "none": False, "1": "full", "full": "full", "conv": "conv",
+    }.get(remat_env, False)
+    if not on_tpu:
+        remat = False
 
     module0 = AutoencoderKL(config=cfg, dtype=jnp.bfloat16)
     sample = jnp.zeros((1, 64 if on_tpu else 32, 64 if on_tpu else 32, 3))

@@ -198,3 +198,84 @@ def test_hook_style_capture(tiny_wrapper):
     assert acts[layer].shape == (1, 16, 32, 32)
     tiny_wrapper.remove_hooks()
     assert tiny_wrapper.get_captured_activations() == {}
+
+
+@pytest.mark.parametrize("mode", ["full", "conv"])
+def test_remat_grad_parity(tiny_wrapper, mode):
+    """Rematerialization modes are numerically invisible: loss and every
+    gradient match the no-remat graph exactly. ``full`` = classic block remat
+    (save block inputs only); ``conv`` = save conv outputs, recompute only
+    the elementwise GroupNorm+SiLU chains in backward (the cheap
+    memory/compute point for conv nets)."""
+    cfg = VAEConfig.tiny()
+    params = tiny_wrapper.params
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+    )
+
+    def loss_fn(module, p):
+        out = module.apply({"params": p}, x, sample_posterior=False)
+        return (
+            jnp.mean(out["reconstruction"] ** 2)
+            + 1e-6 * jnp.mean(out["latent_dist"].kl())
+        )
+
+    base = AutoencoderKL(config=cfg)
+    ref_l, ref_g = jax.jit(jax.value_and_grad(lambda p: loss_fn(base, p)))(params)
+    m = AutoencoderKL(config=cfg, remat=mode)
+    l, g = jax.jit(jax.value_and_grad(lambda p: loss_fn(m, p)))(params)
+    assert abs(float(l - ref_l)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_capture_taps(tiny_wrapper):
+    """Activation-stat taps still sow (and match the no-remat values) when
+    the resnet blocks are rematerialized with the conv-output policy."""
+    from vae_channel_dynamics_tpu.models.vae import flatten_stats
+    from vae_channel_dynamics_tpu.tracking import ActivityMonitor
+
+    cfg = VAEConfig.tiny()
+    monitor = ActivityMonitor(
+        {
+            "enabled": True,
+            "track_interval": 1,
+            "target_layers": [
+                {
+                    "name": "vae.encoder.down_blocks.0.resnets.0.norm1",
+                    "capture_point": "output",
+                    "metrics": ["mean_abs_activation_per_channel"],
+                }
+            ],
+        }
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+    )
+    key = (
+        "encoder.down_blocks.0.resnets.0.norm1.output."
+        "mean_abs_activation_per_channel"
+    )
+    vals = {}
+    for mode in (False, "conv"):
+        m = AutoencoderKL(
+            config=cfg, remat=mode, capture=monitor.scalar_capture_table
+        )
+        _, aux = m.apply(
+            {"params": tiny_wrapper.params},
+            x,
+            sample_posterior=False,
+            mutable=["stats"],
+        )
+        vals[mode] = np.asarray(flatten_stats(aux["stats"])[key])
+    np.testing.assert_allclose(vals["conv"], vals[False], atol=1e-6)
+
+
+def test_remat_invalid_mode(tiny_wrapper):
+    m = AutoencoderKL(config=VAEConfig.tiny(), remat="bogus")
+    with pytest.raises(ValueError, match="remat"):
+        m.apply(
+            {"params": tiny_wrapper.params},
+            jnp.zeros((1, 32, 32, 3), jnp.float32),
+            sample_posterior=False,
+        )

@@ -32,10 +32,12 @@ class SDXLVAEWrapper:
         dtype: Any = jnp.float32,
         seed: int = 0,
         impl: str = "auto",
+        remat: Any = False,
     ):
         self.config = config or VAEConfig.sdxl()
         self.dtype = dtype
         self.impl = impl
+        self.remat = remat
         self.scaling_factor = self.config.scaling_factor
         if params is None:
             params = self.init_params(seed)
@@ -47,7 +49,8 @@ class SDXLVAEWrapper:
     # ------------------------------------------------------------------ #
     def _module(self, capture: CaptureTable = ()) -> AutoencoderKL:
         return AutoencoderKL(
-            config=self.config, dtype=self.dtype, impl=self.impl, capture=capture
+            config=self.config, dtype=self.dtype, impl=self.impl,
+            remat=self.remat, capture=capture,
         )
 
     def init_params(self, seed: int = 0) -> Dict[str, Any]:

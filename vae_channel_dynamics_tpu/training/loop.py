@@ -67,6 +67,10 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
     with fused Pallas resnets on TPU), ``xla``, ``pallas`` (standalone GN
     kernels), or ``fused`` (Pallas gn+silu+conv resnet kernels)."""
     impl = str(model_config.get("kernel_impl", "auto"))
+    # model.remat: "none" (default) | "full" (block remat, ~14% slower,
+    # minimum memory) | "conv" (save conv outputs, recompute elementwise
+    # only — near-free memory saver for high resolutions)
+    remat = model_config.get("remat", False)
     name = model_config.get("pretrained_vae_name", "stabilityai/sdxl-vae")
     arch = model_config.get("architecture", "sdxl")
     if name and os.path.isdir(name) and os.path.exists(
@@ -74,7 +78,9 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
     ):
         cfg, params = model_io.load_model_dir(name)
         logger.info("Loaded VAE weights from local dir: %s", name)
-        return SDXLVAEWrapper(config=cfg, params=params, dtype=dtype, impl=impl)
+        return SDXLVAEWrapper(
+            config=cfg, params=params, dtype=dtype, impl=impl, remat=remat
+        )
     cfg = VAEConfig.tiny() if arch == "tiny" else VAEConfig.sdxl()
     if name and not os.path.isdir(name):
         logger.warning(
@@ -84,7 +90,7 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
         )
     return SDXLVAEWrapper(
         config=cfg, dtype=dtype, seed=int(model_config.get("init_seed", 0)),
-        impl=impl,
+        impl=impl, remat=remat,
     )
 
 
@@ -322,7 +328,7 @@ class Trainer:
         # ---------------- jitted steps ---------------- #
         module_plain = AutoencoderKL(
             config=vae_config, dtype=dtype, impl=wrapper.impl,
-            capture=monitor.scalar_capture_table,
+            remat=wrapper.remat, capture=monitor.scalar_capture_table,
         )
         batch_shape = (global_batch, resolution, resolution, vae_config.in_channels)
         stats_acc = monitor.init_acc(module_plain, params, batch_shape)
@@ -342,7 +348,7 @@ class Trainer:
         if monitor.enabled and monitor.map_keys:
             module_maps = AutoencoderKL(
                 config=vae_config, dtype=dtype, impl=wrapper.impl,
-                capture=monitor.map_capture_table,
+                remat=wrapper.remat, capture=monitor.map_capture_table,
             )
             step_maps = make_train_step(
                 module_maps, tx, self.kl_weight, mesh=mesh,
