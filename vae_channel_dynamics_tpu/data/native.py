@@ -23,6 +23,7 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 _SRC = os.path.join(_REPO_ROOT, "csrc", "preprocess.cpp")
+_SRC_DECODE = os.path.join(_REPO_ROOT, "csrc", "decode.cpp")
 _LIB = os.path.join(_REPO_ROOT, "build", "libvcdprep.so")
 
 _lock = threading.Lock()
@@ -31,18 +32,28 @@ _failed = False
 
 
 def _build() -> bool:
+    """Compile the native library. Preferred build includes the JPEG/PNG
+    decode unit (links libjpeg/libpng); if those dev libraries are missing
+    the build degrades to the preprocess-only kernel so resize/crop/normalize
+    keeps working and only ``decode_available()`` turns false."""
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB,
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+    attempts = [
+        base + [_SRC, _SRC_DECODE, "-o", _LIB, "-ljpeg", "-lpng"],
+        base + [_SRC, "-o", _LIB],
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        logger.info("Built native preprocess library: %s", _LIB)
-        return True
-    except Exception as e:  # noqa: BLE001
-        logger.warning("Native preprocess build failed: %s", e)
-        return False
+    for cmd in attempts:
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            logger.info(
+                "Built native preprocess library (%s): %s",
+                "with decode" if _SRC_DECODE in cmd else "preprocess only",
+                _LIB,
+            )
+            return True
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Native build failed (%s): %s", cmd, e)
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -53,10 +64,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
+        stale = not os.path.exists(_LIB) or any(
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB)
+            for src in (_SRC, _SRC_DECODE)
+        )
+        if stale:
             if not _build():
                 _failed = True
                 return None
@@ -69,6 +82,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int,
             ]
+            if hasattr(lib, "vcd_decode_preprocess"):
+                lib.vcd_decode_preprocess.restype = ctypes.c_int
+                lib.vcd_decode_preprocess.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                ]
             _lib = lib
         except OSError as e:
             logger.warning("Failed to load native preprocess library: %s", e)
@@ -78,6 +100,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def decode_available() -> bool:
+    """True when the library was linked against libjpeg/libpng and can run
+    the fused decode+preprocess path."""
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "vcd_decode_preprocess")
+
+
+def decode_preprocess(
+    data: bytes, out_res: int, dct_scaling: bool = True
+) -> np.ndarray:
+    """JPEG/PNG bytes -> float32 (out_res, out_res, 3) in [-1, 1], decoded
+    and preprocessed in one native call. ``dct_scaling`` lets libjpeg decode
+    at 1/2-1/8 size when the source is much larger than the target (the
+    resample filter still runs; numerics differ from a full-size decode at
+    the ~1/255 level). Raises on unsupported containers/color spaces — the
+    pipeline falls back to PIL."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "vcd_decode_preprocess"):
+        raise RuntimeError("native decode library unavailable")
+    buf = np.frombuffer(data, np.uint8)
+    dst = np.empty((out_res, out_res, 3), np.float32)
+    rc = lib.vcd_decode_preprocess(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_res,
+        1 if dct_scaling else 0,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native decode failed with code {rc}")
+    return dst
 
 
 def preprocess_image(img_hwc_uint8: np.ndarray, out_res: int) -> np.ndarray:

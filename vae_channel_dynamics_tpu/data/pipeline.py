@@ -55,18 +55,59 @@ def get_transform(resolution: int) -> Callable[[Any], np.ndarray]:
                 "using the PIL path."
             )
 
+    dct_scaling = os.environ.get("VCD_NATIVE_DCT_SCALE", "1") == "1"
+
+    def _raw_bytes(img) -> Optional[bytes]:
+        """Encoded JPEG/PNG bytes for the fused native decode, when the item
+        is raw bytes, a path, or a still-lazy file-backed PIL image (PIL
+        closes ``fp`` on load, so an open fp means the pixels are untouched
+        and re-reading the file is exact)."""
+        if isinstance(img, bytes):
+            return img
+        path = None
+        if isinstance(img, str):
+            path = img
+        elif (
+            isinstance(img, Image.Image)
+            and getattr(img, "fp", None) is not None
+            and getattr(img, "filename", "")
+        ):
+            path = img.filename
+        if path and path.lower().endswith((".jpg", ".jpeg", ".png")):
+            try:
+                with open(path, "rb") as f:
+                    return f.read()
+            except OSError:
+                return None
+        return None
+
     def transform(img) -> np.ndarray:
         if use_native:
+            from . import native as native_mod
+
+            if native_mod.decode_available():
+                raw = _raw_bytes(img)
+                if raw is not None:
+                    try:
+                        return native_mod.decode_preprocess(
+                            raw, resolution, dct_scaling=dct_scaling
+                        )
+                    except RuntimeError:
+                        pass  # unsupported container/colorspace -> PIL
             arr = np.asarray(img) if isinstance(img, Image.Image) else img
             if isinstance(arr, np.ndarray) and arr.dtype == np.uint8 and (
                 arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] in (1, 3))
             ):
-                from . import native as native_mod
-
                 return native_mod.preprocess_image(arr, resolution)
         return _pil_transform(img)
 
     def _pil_transform(img) -> np.ndarray:
+        if isinstance(img, bytes):
+            import io
+
+            img = Image.open(io.BytesIO(img))
+        elif isinstance(img, str):
+            img = Image.open(img)
         if isinstance(img, np.ndarray):
             arr = img
             if arr.dtype == np.uint8:
