@@ -11,14 +11,61 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)
 
 STATE_SUBDIR = "state"
+
+
+class AsyncSaver:
+    """Non-blocking checkpoint writes for the hot loop.
+
+    ``save`` snapshots the state ON DEVICE first (a cheap device-side copy,
+    which also makes the snapshot immune to the train step's buffer
+    donation — the live state's buffers are donated into the next step and
+    may be deleted before a background fetch could read them), then fetches
+    and writes in a background thread. The step loop never stalls on the
+    device→host transfer or the filesystem.
+
+    One save is in flight at a time; a new ``save`` joins the previous one
+    first. Call ``wait()`` before reading checkpoints back or exiting.
+    Writer errors are re-raised on the next ``save``/``wait`` call.
+    """
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, state: Any) -> None:
+        self.wait()
+        snapshot = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state
+        )
+
+        def _write() -> None:
+            try:
+                save_train_state(path, snapshot)
+            except BaseException as e:  # noqa: BLE001 — surfaced on wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name="vcd-ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
 
 
 def save_train_state(path: str, state: Any) -> None:

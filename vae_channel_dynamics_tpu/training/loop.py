@@ -27,6 +27,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import signal
 import time
 from typing import Any, Dict, Optional
 
@@ -50,7 +51,12 @@ from ..utils.config_utils import as_float, as_int
 from ..utils.plotting import ActivityPlotter, DeadNeuronPlotter, plot_dead_vs_nudge
 from ..utils.profiling import TraceCapture
 from ..utils.reporting import build_reporter
-from .checkpoint import prune_checkpoints, restore_train_state, save_train_state
+from .checkpoint import (
+    AsyncSaver,
+    prune_checkpoints,
+    restore_train_state,
+    save_train_state,
+)
 from .state import TrainState
 from .step import build_optimizer, make_eval_step, make_train_step
 
@@ -366,6 +372,35 @@ class Trainer:
         validation_epochs = as_int(tc.get("validation_epochs"), 0)
         validation_steps = as_int(tc.get("validation_steps"), 0)
 
+        # saving.async_save (default on): periodic checkpoints snapshot the
+        # state on device and write from a background thread, so the step
+        # loop never stalls on the device->host fetch or the filesystem.
+        ckpt_saver = (
+            AsyncSaver()
+            if self.saving_config.get("async_save", True) and is_main
+            else None
+        )
+
+        # ---------------- preemption handling ---------------- #
+        # No reference equivalent (SURVEY.md §5: no failure recovery at all).
+        # Preemptible TPU VMs get SIGTERM with a short grace period; catching
+        # it, checkpointing at the next step boundary, and exiting cleanly
+        # makes `--resume_from auto` pick the run back up losslessly.
+        preempt_flag = {"hit": False}
+
+        def _on_term(signum, _frame):
+            preempt_flag["hit"] = True
+            logger.warning(
+                "Received signal %d — will checkpoint and exit at the next "
+                "step boundary.", signum,
+            )
+
+        try:
+            _prev_sigterm = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread (embedded use): no handler
+            _prev_sigterm = None
+        preempted = False
+
         # ---------------- loop ---------------- #
         logger.info(
             "***** Running training: %d epochs, %d steps/epoch, "
@@ -622,16 +657,50 @@ class Trainer:
 
                 # --- periodic checkpoint (train.py:358-362) ---
                 if global_step % save_interval_steps == 0 and is_main:
-                    save_train_state(
-                        os.path.join(
-                            self.output_dir, f"{checkpoint_prefix}-{global_step}"
-                        ),
-                        state,
+                    ckpt_path = os.path.join(
+                        self.output_dir, f"{checkpoint_prefix}-{global_step}"
                     )
+                    if ckpt_saver is not None:
+                        ckpt_saver.save(ckpt_path, state)
+                    else:
+                        save_train_state(ckpt_path, state)
                     prune_checkpoints(
                         self.output_dir, checkpoint_prefix,
                         as_int(self.saving_config.get("keep_last_n"), 0),
                     )
+
+                # --- preemption-safe exit (no reference equivalent) ---
+                # Multi-host runs must agree on stopping (the step is a
+                # collective), so the flag is only consulted at log-interval
+                # boundaries there and OR-reduced across processes; a single
+                # host checks every step for the fastest reaction.
+                if process_count == 1 or global_step % log_interval == 0:
+                    stop_now = preempt_flag["hit"]
+                    if process_count > 1:
+                        from jax.experimental import multihost_utils
+
+                        stop_now = bool(
+                            multihost_utils.process_allgather(
+                                np.array([stop_now])
+                            ).any()
+                        )
+                    if stop_now:
+                        if is_main:
+                            if ckpt_saver is not None:
+                                ckpt_saver.wait()
+                            save_train_state(
+                                os.path.join(
+                                    self.output_dir,
+                                    f"{checkpoint_prefix}-{global_step}",
+                                ),
+                                state,
+                            )
+                        logger.warning(
+                            "Preemption checkpoint written at step %d; "
+                            "exiting the training loop.", global_step,
+                        )
+                        preempted = True
+                        break
 
                 # --- step-interval validation (train.py:366-369) ---
                 if (
@@ -682,10 +751,16 @@ class Trainer:
                     _prepared_batches(val_loader, cap="val"),
                     global_step, reporter,
                 )
+            if preempted:
+                break
             if global_step >= max_train_steps:
                 logger.info("Reached max_train_steps.")
                 break
 
+        if _prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, _prev_sigterm)
+        if ckpt_saver is not None:
+            ckpt_saver.wait()
         tracer.close()
         elapsed = time.time() - t_start
         logger.info(
@@ -701,6 +776,7 @@ class Trainer:
             global_step=global_step,
             images_per_sec=images_seen / max(elapsed, 1e-6),
             images_seen=images_seen,
+            preempted=preempted,
         )
         return summary
 
