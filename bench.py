@@ -104,6 +104,15 @@ def build_step(cfg, batch, resolution, capture_table, params, remat,
     return step, state
 
 
+def _release() -> None:
+    """Collect dropped device buffers so a failed (OOM) attempt or a
+    finished phase can't starve the next one of HBM — the sweep binds
+    >1 GB of params + optimizer state per attempt."""
+    import gc
+
+    gc.collect()
+
+
 def time_steps(step, state, batch_np, mask, rng, warmup=3, iters=10):
     """Time via chain-length differencing: run N1 and N2 chained steps each
     ended by a scalar fetch, and divide the time difference by the step-count
@@ -310,6 +319,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — OOM at large batch: try smaller
             print(f"# batch={batch} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
+        finally:
+            # a failed/finished attempt must not hold HBM (data + params +
+            # optimizer state can exceed 1 GB) into the next phase
+            data = mask = params = step = state = None
+            _release()
 
     if best is None and 8 not in candidate_batches:
         # OOM fallback: retry once at a conservative batch size
@@ -327,6 +341,9 @@ def main() -> int:
                 best = {"batch": batch, "ips": batch / dt, "dt": dt}
             except Exception as e:  # noqa: BLE001
                 print(f"# fallback batch={batch} failed: {e}", file=sys.stderr)
+            finally:
+                data = mask = params = step = state = None
+                _release()
 
     if best is None:
         print(json.dumps({"metric": "error", "value": 0, "unit": "",
@@ -362,6 +379,9 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"# fused bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+        finally:
+            data = mask = params = step_f = state_f = None
+            _release()
 
     # tracking overhead at the best batch size
     overhead_pct = None
@@ -388,6 +408,9 @@ def main() -> int:
         )
     except Exception as e:  # noqa: BLE001
         print(f"# tracking overhead measurement failed: {e}", file=sys.stderr)
+    finally:
+        data = mask = params = step_t = state_t = None
+        _release()
 
     # serving (forward-only) throughput at the best batch size
     forward_ips = None
@@ -408,6 +431,9 @@ def main() -> int:
         )
     except Exception as e:  # noqa: BLE001
         print(f"# forward benchmark failed: {e}", file=sys.stderr)
+    finally:
+        data = params = fwd = None
+        _release()
 
     result = {
         "metric": f"sdxl_vae_train_images_per_sec_per_chip@{resolution}px",
