@@ -1,0 +1,192 @@
+"""HTTP serving daemon: endpoints, micro-batching, static-shape padding."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vae_channel_dynamics_tpu.models import SDXLVAEWrapper, VAEConfig
+from vae_channel_dynamics_tpu.server import MicroBatcher, VAEServer
+
+RES = 32
+
+
+@pytest.fixture(scope="module")
+def server():
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    srv = VAEServer(
+        wrapper, resolution=RES, max_batch=4, max_wait_ms=40.0, port=0
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def _png_bytes(seed=0, size=48):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (size, size, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(_url(server, path), data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, dict(resp.headers), resp.read()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["resolution"] == RES
+
+
+def test_reconstruct_returns_png_and_mse(server):
+    status, headers, body = _post(server, "/reconstruct", _png_bytes(1))
+    assert status == 200
+    assert headers["Content-Type"] == "image/png"
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (RES, RES)
+    assert float(headers["X-VCD-MSE"]) >= 0.0
+
+
+def test_reconstruct_deterministic_is_repeatable(server):
+    body = _png_bytes(2)
+    _, _, a = _post(server, "/reconstruct?deterministic=true", body)
+    _, _, b = _post(server, "/reconstruct?deterministic=true", body)
+    assert a == b
+
+
+def test_encode_decode_roundtrip(server):
+    status, headers, latents_npy = _post(server, "/encode", _png_bytes(3))
+    assert status == 200
+    z = np.load(io.BytesIO(latents_npy))
+    assert z.shape == (RES // 2, RES // 2, 4)  # tiny config: one downsample
+    status, headers, png = _post(server, "/decode", latents_npy)
+    assert status == 200
+    img = np.asarray(Image.open(io.BytesIO(png)))
+    assert img.shape == (RES, RES, 3)
+
+
+def test_bad_input_is_a_client_error(server):
+    req = urllib.request.Request(
+        _url(server, "/decode"), data=b"garbage bytes", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400
+
+
+def test_unknown_route(server):
+    req = urllib.request.Request(
+        _url(server, "/nope"), data=b"x", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 404
+
+
+def test_concurrent_http_requests_all_succeed(server):
+    n = 6
+    errors = []
+
+    def fire(i):
+        try:
+            status, _, _ = _post(server, "/reconstruct", _png_bytes(10 + i))
+            assert status == 200
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert server.stats()["requests"] >= n
+
+
+def test_concurrent_submissions_coalesce(server):
+    """Simultaneous same-kind submissions become fewer device calls. Driven
+    at the batcher level with a barrier so the assertion is deterministic
+    (the HTTP layer above adds timing jitter on a loaded 1-core host)."""
+    rng = np.random.default_rng(0)
+    pixels = rng.uniform(-1, 1, (RES, RES, 3)).astype(np.float32)
+    server.batcher.submit("reconstruct", pixels)  # warm the compile
+    calls_before = server.batcher.batch_calls
+    items_before = server.batcher.items_served
+    n = 8
+    barrier = threading.Barrier(n)
+    errors = []
+
+    def fire(i):
+        try:
+            barrier.wait(timeout=60)
+            out = server.batcher.submit("reconstruct", pixels)
+            assert out.shape == (RES, RES, 3)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    new_calls = server.batcher.batch_calls - calls_before
+    assert server.batcher.items_served - items_before == n
+    # max_batch=4 caps a single call; 8 simultaneous items need >= 2 calls
+    # and coalescing must make it fewer than 8
+    assert new_calls < n, (new_calls, n)
+
+
+def test_microbatcher_groups_by_kind():
+    seen = []
+
+    def runner(kind, stacked):
+        seen.append((kind, stacked.shape[0]))
+        return stacked * 2
+
+    mb = MicroBatcher(runner, max_batch=4, max_wait_ms=50.0)
+    results = {}
+
+    def submit(kind, value, key):
+        results[key] = mb.submit(kind, np.full((2,), value))
+
+    threads = [
+        threading.Thread(target=submit, args=("a", 1.0, "a1")),
+        threading.Thread(target=submit, args=("b", 2.0, "b1")),
+        threading.Thread(target=submit, args=("a", 3.0, "a2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    np.testing.assert_array_equal(results["a1"], 2.0)
+    np.testing.assert_array_equal(results["b1"], 4.0)
+    np.testing.assert_array_equal(results["a2"], 6.0)
+    # kinds never mixed into one runner call
+    assert all(kind in ("a", "b") for kind, _ in seen)
+    mb.close()
+
+
+def test_microbatcher_error_propagates():
+    def runner(kind, stacked):
+        raise ValueError("boom")
+
+    mb = MicroBatcher(runner, max_batch=2, max_wait_ms=1.0)
+    with pytest.raises(ValueError, match="boom"):
+        mb.submit("x", np.zeros((1,)))
+    mb.close()

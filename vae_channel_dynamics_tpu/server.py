@@ -1,0 +1,415 @@
+"""HTTP serving daemon with dynamic micro-batching.
+
+``python -m vae_channel_dynamics_tpu.server --checkpoint_path <dir>
+[--port 8400] [--resolution 256] [--max_batch 8] [--max_wait_ms 10]``
+
+The production-serving surface the reference does not have (its inference
+story is the offline helpers in src/models/sdxl_vae_wrapper.py:147-179).
+TPU-shaped design decisions:
+
+- **Static shapes, one compile.** Every request is preprocessed to the
+  server resolution and batches are padded to ``max_batch``, so each
+  endpoint compiles exactly one XLA program; there is no shape-driven
+  recompilation in steady state.
+- **Dynamic micro-batching.** Concurrent requests are coalesced (up to
+  ``max_batch``, waiting at most ``max_wait_ms`` after the first arrival)
+  into one device call — the standard latency/throughput knob for
+  accelerator serving.
+- **Native ingestion.** JPEG/PNG request bodies go through the fused C++
+  decode+preprocess kernel when available (csrc/decode.cpp), PIL otherwise.
+
+Endpoints (stdlib http.server, no new dependencies):
+  GET  /healthz          liveness + model/platform info
+  GET  /stats            request counts, latency percentiles, batching ratio
+  POST /reconstruct      image bytes -> PNG (header X-VCD-MSE vs the input)
+  POST /encode           image bytes -> scaled latents as .npy
+  POST /decode           .npy latents (one image, HxWx4) -> PNG
+Query ``?deterministic=false`` samples the posterior instead of its mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .utils.platform import apply_platform_env
+
+logger = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------------- #
+# Micro-batching
+# --------------------------------------------------------------------------- #
+class _Pending:
+    __slots__ = ("kind", "payload", "event", "result", "error")
+
+    def __init__(self, kind: str, payload: np.ndarray):
+        self.kind = kind
+        self.payload = payload
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-item requests into padded device batches.
+
+    One worker thread drains the queue: it blocks for the first item, then
+    keeps collecting until ``max_batch`` items are in hand or ``max_wait_ms``
+    elapsed since the first. Items are grouped by kind (encode/decode/...)
+    and each group runs as ONE ``runner`` call on a batch padded to
+    ``max_batch`` — so the device sees a single static shape per kind.
+    """
+
+    def __init__(self, runner, max_batch: int = 8, max_wait_ms: float = 10.0):
+        self._runner = runner
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait_s = max(0.0, float(max_wait_ms) / 1e3)
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._stopped = False
+        self.batch_calls = 0
+        self.items_served = 0
+        self._thread = threading.Thread(
+            target=self._worker, name="vcd-batcher", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, kind: str, payload: np.ndarray) -> np.ndarray:
+        if self._stopped:
+            raise RuntimeError("batcher stopped")
+        item = _Pending(kind, payload)
+        self._queue.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def close(self) -> None:
+        self._stopped = True
+        self._queue.put(None)
+        self._thread.join(timeout=5.0)
+
+    # ------------------------------------------------------------------ #
+    def _worker(self) -> None:
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            batch: List[_Pending] = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_groups(batch)
+                    return
+                batch.append(nxt)
+            self._run_groups(batch)
+
+    def _run_groups(self, batch: List[_Pending]) -> None:
+        # group by (kind, item shape): only identical shapes can stack, and
+        # each group maps to one static-shape device program
+        groups: Dict[Tuple[str, Tuple[int, ...]], List[_Pending]] = {}
+        for item in batch:
+            groups.setdefault((item.kind, item.payload.shape), []).append(item)
+        for (kind, _shape), items in groups.items():
+            try:
+                stacked = np.stack([it.payload for it in items])
+                results = self._runner(kind, stacked)
+                self.batch_calls += 1
+                self.items_served += len(items)
+                for it, res in zip(items, results):
+                    it.result = res
+                    it.event.set()
+            except BaseException as e:  # noqa: BLE001 — delivered per item
+                for it in items:
+                    it.error = e
+                    it.event.set()
+
+
+# --------------------------------------------------------------------------- #
+# Model runners
+# --------------------------------------------------------------------------- #
+class VAEServer:
+    """Owns the wrapper, the batcher, and the HTTP server."""
+
+    def __init__(
+        self,
+        wrapper,
+        resolution: int = 256,
+        max_batch: int = 8,
+        max_wait_ms: float = 10.0,
+        host: str = "127.0.0.1",
+        port: int = 8400,
+    ):
+        import jax
+
+        from .data.pipeline import get_transform
+
+        self.wrapper = wrapper
+        self.resolution = int(resolution)
+        self.transform = get_transform(self.resolution)
+        self.platform = jax.devices()[0].platform
+        self._jax = jax
+        self.started = time.time()
+        self.requests = 0
+        self.errors = 0
+        self._latencies: List[float] = []
+        self._lock = threading.Lock()
+        self.batcher = MicroBatcher(self._run, max_batch, max_wait_ms)
+        self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self.httpd.daemon_threads = True
+
+    # ------------------------------------------------------------------ #
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def serve_forever(self) -> None:
+        logger.info(
+            "Serving on %s:%d (%s, res=%d, max_batch=%d)",
+            self.httpd.server_address[0], self.port, self.platform,
+            self.resolution, self.batcher.max_batch,
+        )
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+
+    # ------------------------------------------------------------------ #
+    def _pad(self, x: np.ndarray) -> Tuple[Any, int]:
+        n = x.shape[0]
+        target = self.batcher.max_batch
+        if n < target:
+            pad = np.zeros((target - n,) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        return x, n
+
+    def _run(self, kind: str, stacked: np.ndarray) -> np.ndarray:
+        """Batcher callback: one padded device call per group."""
+        import jax.numpy as jnp
+
+        deterministic = not kind.endswith("@sample")
+        op = kind.split("@", 1)[0]
+        padded, n = self._pad(stacked.astype(np.float32))
+        x = jnp.asarray(padded)
+        if op == "encode":
+            z = self.wrapper.encode(x, deterministic=deterministic)
+            out = np.asarray(self._jax.device_get(z), np.float32)
+        elif op == "decode":
+            y = self.wrapper.decode(x)
+            out = np.asarray(self._jax.device_get(y), np.float32)
+        elif op == "reconstruct":
+            res = self.wrapper.forward(x, sample_posterior=not deterministic)
+            out = np.asarray(
+                self._jax.device_get(res["reconstruction"]), np.float32
+            )
+        else:
+            raise ValueError(f"unknown op {op!r}")
+        return out[:n]
+
+    # ------------------------------------------------------------------ #
+    def _record(self, dt: float, ok: bool) -> None:
+        with self._lock:
+            self.requests += 1
+            if not ok:
+                self.errors += 1
+            self._latencies.append(dt)
+            if len(self._latencies) > 4096:
+                self._latencies = self._latencies[-2048:]
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            lat = sorted(self._latencies)
+            requests, errors = self.requests, self.errors
+
+        def pct(p: float) -> Optional[float]:
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2)
+
+        return {
+            "requests": requests,
+            "errors": errors,
+            "uptime_s": round(time.time() - self.started, 1),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+            "batch_calls": self.batcher.batch_calls,
+            "items_batched": self.batcher.items_served,
+            "batching_ratio": round(
+                self.batcher.items_served / max(1, self.batcher.batch_calls), 3
+            ),
+            "platform": self.platform,
+            "resolution": self.resolution,
+        }
+
+    # ------------------------------------------------------------------ #
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route through logging
+                logger.debug("http: " + fmt, *args)
+
+            def _send(self, code: int, body: bytes, ctype: str,
+                      headers: Optional[Dict[str, str]] = None) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, code: int, obj: Dict[str, Any]) -> None:
+                self._send(
+                    code, json.dumps(obj).encode(), "application/json"
+                )
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._send_json(200, {
+                        "status": "ok",
+                        "platform": server.platform,
+                        "resolution": server.resolution,
+                        "scaling_factor": server.wrapper.scaling_factor,
+                        "max_batch": server.batcher.max_batch,
+                    })
+                elif path == "/stats":
+                    self._send_json(200, server.stats())
+                else:
+                    self._send_json(404, {"error": f"no route {path}"})
+
+            def do_POST(self):
+                t0 = time.perf_counter()
+                parsed = urlparse(self.path)
+                op = parsed.path.lstrip("/")
+                q = parse_qs(parsed.query)
+                deterministic = (
+                    q.get("deterministic", ["true"])[0].lower() != "false"
+                )
+                ok = False
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    if op in ("reconstruct", "encode"):
+                        pixels = server.transform(body)
+                        kind = op if deterministic else op + "@sample"
+                        out = server.batcher.submit(kind, pixels)
+                        if op == "encode":
+                            buf = io.BytesIO()
+                            np.save(buf, out)
+                            self._send(
+                                200, buf.getvalue(),
+                                "application/octet-stream",
+                                {"X-VCD-Latent-Shape": str(out.shape)},
+                            )
+                        else:
+                            mse = float(np.mean((out - pixels) ** 2))
+                            self._send(
+                                200, _to_png(out), "image/png",
+                                {"X-VCD-MSE": f"{mse:.6f}"},
+                            )
+                    elif op == "decode":
+                        z = np.load(io.BytesIO(body))
+                        if z.ndim == 4:
+                            z = z[0]
+                        if z.ndim != 3:
+                            raise ValueError(
+                                f"latents must be HxWxC, got {z.shape}"
+                            )
+                        out = server.batcher.submit("decode", z)
+                        self._send(200, _to_png(out), "image/png")
+                    else:
+                        self._send_json(404, {"error": f"no route /{op}"})
+                        return
+                    ok = True
+                except Exception as e:  # noqa: BLE001 — client gets the cause
+                    logger.exception("request failed")
+                    self._send_json(400, {
+                        "error": f"{type(e).__name__}: {e}"
+                    })
+                finally:
+                    server._record(time.perf_counter() - t0, ok)
+
+        return Handler
+
+
+def _to_png(arr_hwc: np.ndarray) -> bytes:
+    from PIL import Image
+
+    img = np.clip((arr_hwc + 1.0) / 2.0, 0.0, 1.0)
+    buf = io.BytesIO()
+    Image.fromarray((img * 255).astype(np.uint8)).save(buf, "PNG")
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------------------- #
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="VAE serving daemon.")
+    p.add_argument("--checkpoint_path", required=True,
+                   help="Dir containing the 'vae' subdirectory (or a model dir).")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=10.0)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    apply_platform_env()
+    import jax.numpy as jnp
+
+    from .models import SDXLVAEWrapper
+    from .models import io as model_io
+    from .utils.logging_utils import setup_logging
+
+    setup_logging()
+    args = parse_args(argv)
+    vae_dir = os.path.join(args.checkpoint_path, "vae")
+    if not os.path.isdir(vae_dir):
+        vae_dir = args.checkpoint_path
+    config, params = model_io.load_model_dir(vae_dir)
+    wrapper = SDXLVAEWrapper(config=config, params=params, dtype=jnp.bfloat16)
+    server = VAEServer(
+        wrapper,
+        resolution=args.resolution,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        host=args.host,
+        port=args.port,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
