@@ -41,7 +41,11 @@ class SDXLVAEWrapper:
         self.scaling_factor = self.config.scaling_factor
         if params is None:
             params = self.init_params(seed)
-        self.params = params
+        # Params arriving from disk (model_io.load_model_dir) are host numpy
+        # arrays; without an explicit placement every jitted call re-uploads
+        # all 335 MB to the device (measured: 13 s/request on a tunneled
+        # chip). Place them once; device-resident params pass through.
+        self.params = jax.device_put(params)
         self._capture: CaptureTable = ()
         self._captured: Dict[str, np.ndarray] = {}
         self._jit_cache: Dict[Tuple, Any] = {}

@@ -195,6 +195,16 @@ class VAEServer:
         self.httpd.server_close()
         self.batcher.close()
 
+    def warmup(self) -> None:
+        """Compile every endpoint's (padded, static-shape) program up front
+        so the first user request doesn't pay the ~30 s XLA compile."""
+        dummy = np.zeros((self.resolution, self.resolution, 3), np.float32)
+        t0 = time.time()
+        z = self.batcher.submit("encode", dummy)
+        self.batcher.submit("decode", z)
+        self.batcher.submit("reconstruct", dummy)
+        logger.info("Warmup compiles done in %.1fs", time.time() - t0)
+
     # ------------------------------------------------------------------ #
     def _pad(self, x: np.ndarray) -> Tuple[Any, int]:
         n = x.shape[0]
@@ -376,6 +386,8 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=10.0)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="Skip compiling the endpoints before accepting traffic.")
     return p.parse_args(argv)
 
 
@@ -403,6 +415,8 @@ def main(argv=None) -> int:
         port=args.port,
     )
     try:
+        if not args.no_warmup:
+            server.warmup()
         server.serve_forever()
     except KeyboardInterrupt:
         pass
