@@ -190,3 +190,28 @@ def test_microbatcher_error_propagates():
     with pytest.raises(ValueError, match="boom"):
         mb.submit("x", np.zeros((1,)))
     mb.close()
+
+
+def test_npy_fast_path(server):
+    rng = np.random.default_rng(7)
+    pixels = rng.uniform(-1, 1, (RES, RES, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, pixels)
+    status, headers, body = _post(
+        server, "/reconstruct?format=npy", buf.getvalue()
+    )
+    assert status == 200
+    assert headers["Content-Type"] == "application/octet-stream"
+    out = np.load(io.BytesIO(body))
+    assert out.shape == (RES, RES, 3)
+    assert out.dtype == np.float32
+
+    # wrong npy shape is a client error
+    bad = io.BytesIO()
+    np.save(bad, np.zeros((4, 4, 3), np.float32))
+    req = urllib.request.Request(
+        _url(server, "/reconstruct"), data=bad.getvalue(), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400

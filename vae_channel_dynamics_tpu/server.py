@@ -174,8 +174,14 @@ class VAEServer:
         self._latencies: List[float] = []
         self._lock = threading.Lock()
         self.batcher = MicroBatcher(self._run, max_batch, max_wait_ms)
-        self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
-        self.httpd.daemon_threads = True
+
+        class _Server(ThreadingHTTPServer):
+            # the stdlib default accept backlog of 5 drops connections the
+            # moment concurrency exceeds single digits
+            request_queue_size = 128
+            daemon_threads = True
+
+        self.httpd = _Server((host, port), self._make_handler())
 
     # ------------------------------------------------------------------ #
     @property
@@ -223,19 +229,18 @@ class VAEServer:
         padded, n = self._pad(stacked.astype(np.float32))
         x = jnp.asarray(padded)
         if op == "encode":
-            z = self.wrapper.encode(x, deterministic=deterministic)
-            out = np.asarray(self._jax.device_get(z), np.float32)
+            y = self.wrapper.encode(x, deterministic=deterministic)
         elif op == "decode":
             y = self.wrapper.decode(x)
-            out = np.asarray(self._jax.device_get(y), np.float32)
         elif op == "reconstruct":
-            res = self.wrapper.forward(x, sample_posterior=not deterministic)
-            out = np.asarray(
-                self._jax.device_get(res["reconstruction"]), np.float32
-            )
+            y = self.wrapper.forward(x, sample_posterior=not deterministic)[
+                "reconstruction"
+            ]
         else:
             raise ValueError(f"unknown op {op!r}")
-        return out[:n]
+        # slice the padding off ON DEVICE before fetching: a single-item
+        # request must not pay a max_batch-sized device->host transfer
+        return np.asarray(self._jax.device_get(y[:n]), np.float32)
 
     # ------------------------------------------------------------------ #
     def _record(self, dt: float, ok: bool) -> None:
@@ -320,12 +325,30 @@ class VAEServer:
                 deterministic = (
                     q.get("deterministic", ["true"])[0].lower() != "false"
                 )
+                fmt = q.get("format", ["png"])[0].lower()
                 ok = False
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
                     if op in ("reconstruct", "encode"):
-                        pixels = server.transform(body)
+                        # fast path for throughput clients: a .npy body
+                        # ((H, W, 3) float32 in [-1, 1]) skips the image
+                        # codec entirely; `?format=npy` does the same for
+                        # the response
+                        if body[:6] == b"\x93NUMPY":
+                            pixels = np.load(io.BytesIO(body))
+                            if pixels.shape != (
+                                server.resolution, server.resolution, 3
+                            ):
+                                raise ValueError(
+                                    f"npy pixels must be "
+                                    f"({server.resolution}, "
+                                    f"{server.resolution}, 3), "
+                                    f"got {pixels.shape}"
+                                )
+                            pixels = pixels.astype(np.float32)
+                        else:
+                            pixels = server.transform(body)
                         kind = op if deterministic else op + "@sample"
                         out = server.batcher.submit(kind, pixels)
                         if op == "encode":
@@ -335,6 +358,13 @@ class VAEServer:
                                 200, buf.getvalue(),
                                 "application/octet-stream",
                                 {"X-VCD-Latent-Shape": str(out.shape)},
+                            )
+                        elif fmt == "npy":
+                            buf = io.BytesIO()
+                            np.save(buf, out)
+                            self._send(
+                                200, buf.getvalue(),
+                                "application/octet-stream",
                             )
                         else:
                             mse = float(np.mean((out - pixels) ** 2))
