@@ -197,6 +197,9 @@ class VAEServer:
         self.httpd.serve_forever()
 
     def shutdown(self) -> None:
+        if getattr(self, "_shut", False):
+            return
+        self._shut = True
         self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.close()
@@ -444,6 +447,16 @@ def main(argv=None) -> int:
         host=args.host,
         port=args.port,
     )
+    import signal
+
+    def _graceful(signum, _frame):
+        logger.info("Signal %d: shutting down.", signum)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful)
+    except ValueError:
+        pass
     try:
         if not args.no_warmup:
             server.warmup()
