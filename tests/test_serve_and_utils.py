@@ -170,3 +170,15 @@ def test_prune_checkpoints(tmp_path):
     prune_checkpoints(str(tmp_path), "chkpt", keep_last_n=2)
     remaining = sorted(p.name for p in tmp_path.glob("chkpt-*"))
     assert remaining == ["chkpt-30", "chkpt-40"]
+
+
+def test_doctor_cli(monkeypatch):
+    """The environment self-check runs clean in the test environment."""
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("VCD_DATA_FALLBACK", "synthetic")
+    from vae_channel_dynamics_tpu.tools import doctor
+
+    doctor._RESULTS.clear()
+    rc = doctor.main(["--no-device"])
+    assert rc == 0
+    assert "FAIL" not in doctor._RESULTS
