@@ -100,6 +100,16 @@ class MicroBatcher:
         self._stopped = True
         self._queue.put(None)
         self._thread.join(timeout=5.0)
+        # a submit() that raced the stop flag may have enqueued after the
+        # sentinel; fail those waiters instead of leaving them blocked
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.error = RuntimeError("batcher stopped")
+                item.event.set()
 
     # ------------------------------------------------------------------ #
     def _worker(self) -> None:

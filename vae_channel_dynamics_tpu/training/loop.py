@@ -739,8 +739,11 @@ class Trainer:
             logger.info("Epoch %d completed.", epoch)
 
             # --- epoch-interval validation (train.py:382-385) ---
+            # (skipped when preempted: the grace window is for the
+            # checkpoint, not a validation pass)
             if (
-                do_validation
+                not preempted
+                and do_validation
                 and val_loader is not None
                 and validation_epochs > 0
                 and (epoch + 1) % validation_epochs == 0
