@@ -200,3 +200,88 @@ def test_prefetcher_normal_exhaustion_still_terminates():
     pf._thread.join(timeout=5.0)
     assert not pf._thread.is_alive()
     pf.close()
+
+
+def test_transfer_dtype_uint8_roundtrip():
+    """uint8 transfer batches dequantize on device to exactly the values the
+    reference pipeline produces (uint8-resize -> v/127.5 - 1)."""
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.data.pipeline import quantize_uint8
+    from vae_channel_dynamics_tpu.training.step import dequantize_pixels
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    as_float = src.astype(np.float32) / 127.5 - 1.0  # reference normalize
+    q = quantize_uint8(as_float)
+    np.testing.assert_array_equal(q, src)  # exact roundtrip for uint8 sources
+    deq = np.asarray(dequantize_pixels(jnp.asarray(q)))
+    np.testing.assert_allclose(deq, as_float, atol=1e-6)
+    # float batches pass through untouched
+    passthrough = np.asarray(dequantize_pixels(jnp.asarray(as_float)))
+    np.testing.assert_array_equal(passthrough, as_float)
+
+
+def test_transfer_dtype_uint8_dataset_and_loader():
+    from vae_channel_dynamics_tpu.data.pipeline import (
+        DataLoader,
+        load_and_preprocess_dataset,
+    )
+
+    ds = load_and_preprocess_dataset(
+        "synthetic://shapes?num_samples=8",
+        resolution=16,
+        transfer_dtype="uint8",
+    )
+    item = ds[0]
+    assert item["pixel_values"].dtype == np.uint8
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+    batch = next(iter(loader))
+    assert batch["pixel_values"].dtype == np.uint8
+    assert batch["pixel_values"].shape == (4, 16, 16, 3)
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        load_and_preprocess_dataset(
+            "synthetic://shapes?num_samples=8",
+            resolution=16,
+            transfer_dtype="int4",
+        )
+
+
+def test_uint8_train_step_matches_prequantized_float():
+    """A uint8 batch must produce the same loss as the float batch holding
+    the dequantized values (tight tolerance: XLA may fuse the on-device
+    dequantize into downstream ops with different rounding association)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.data.pipeline import quantize_uint8
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    rng = np.random.default_rng(1)
+    floats = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    q = quantize_uint8(floats)
+    deq = q.astype(np.float32) / 127.5 - 1.0
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)),
+        sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-4, warmup_steps=1, max_train_steps=10)
+    mask = np.ones(2, np.float32)
+    losses = {}
+    for name, batch in (("uint8", q), ("float", deq)):
+        state = TrainState.create(params, tx, stats_acc={})
+        step = make_train_step(module, tx, 1e-6, donate=False)
+        _, metrics, _ = step(
+            state, {"pixel_values": batch}, mask, jax.random.PRNGKey(2)
+        )
+        losses[name] = float(jax.device_get(metrics["train_loss_step"]))
+    np.testing.assert_allclose(losses["uint8"], losses["float"], rtol=1e-6)

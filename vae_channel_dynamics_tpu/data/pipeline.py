@@ -200,7 +200,77 @@ class ImageFolderSource:
         return {"image": Image.open(self.paths[index])}
 
 
+def quantize_uint8(x: np.ndarray) -> np.ndarray:
+    """[-1, 1] float pixels -> uint8. This is the quantization the reference
+    pipeline applies implicitly (PIL resize outputs uint8 images before
+    ToTensor/Normalize, src/data_utils.py:24-30); with
+    ``data.transfer_dtype: uint8`` batches cross host->device at 1/4 the
+    bytes and the jitted step dequantizes on device."""
+    return np.clip(np.round((x + 1.0) * 127.5), 0.0, 255.0).astype(np.uint8)
+
+
+class QuantizedUint8Dataset:
+    """View of a dataset whose items' pixel_values are quantized to uint8."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    def _convert(self, item):
+        if item is None or item.get("pixel_values") is None:
+            return item
+        return {**item, "pixel_values": quantize_uint8(item["pixel_values"])}
+
+    def __getitem__(self, index: int):
+        return self._convert(self.inner[index])
+
+    def __iter__(self):
+        for item in self.inner:
+            yield self._convert(item)
+
+
 def load_and_preprocess_dataset(
+    dataset_name: str,
+    dataset_config_name: Optional[str] = None,
+    image_column: str = "image",
+    resolution: int = 256,
+    max_samples: Optional[int] = None,
+    split: str = "train",
+    streaming: bool = False,
+    cache_dir: Optional[str] = None,
+    seed: int = 0,
+    transfer_dtype: str = "float32",
+):
+    """Resolve a dataset name to items of ``{"pixel_values": ...}``.
+
+    ``transfer_dtype="uint8"`` wraps the result so pixel_values are uint8
+    (4x smaller host->device transfers; the train/eval steps dequantize on
+    device; numerics then match the reference's uint8-resize pipeline
+    exactly)."""
+    ds = _resolve_dataset(
+        dataset_name,
+        dataset_config_name=dataset_config_name,
+        image_column=image_column,
+        resolution=resolution,
+        max_samples=max_samples,
+        split=split,
+        streaming=streaming,
+        cache_dir=cache_dir,
+        seed=seed,
+    )
+    if transfer_dtype in ("uint8", "u8"):
+        return QuantizedUint8Dataset(ds)
+    if transfer_dtype not in ("float32", "f32", None, ""):
+        raise ValueError(
+            f"data.transfer_dtype must be float32 or uint8, got "
+            f"{transfer_dtype!r}"
+        )
+    return ds
+
+
+def _resolve_dataset(
     dataset_name: str,
     dataset_config_name: Optional[str] = None,
     image_column: str = "image",
@@ -383,7 +453,10 @@ class DataLoader:
             )
         if not good:
             return None
-        return {"pixel_values": np.stack(good).astype(np.float32)}
+        batch = np.stack(good)
+        if batch.dtype not in (np.float32, np.uint8):
+            batch = batch.astype(np.float32)
+        return {"pixel_values": batch}
 
     def _iter_streaming(self) -> Iterator[Optional[Dict[str, np.ndarray]]]:
         if self.shuffle:

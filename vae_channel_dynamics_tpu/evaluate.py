@@ -163,6 +163,7 @@ def main(argv=None) -> int:
         max_samples=max_samples,
         split=args.eval_split,
         seed=as_int(config.get("seed"), 0),
+        transfer_dtype=dc.get("transfer_dtype", "float32"),
     )
     mesh = make_mesh()
     n_shards = mesh.devices.size
@@ -192,11 +193,14 @@ def main(argv=None) -> int:
         in_shardings=(repl, {"pixel_values": image_sharding}, mask_sharding),
     )
     def eval_batch(p, batch, mask):
+        from .training.step import dequantize_pixels
+
+        pixels_in = dequantize_pixels(batch["pixel_values"])
         out = module.apply(
-            {"params": p}, batch["pixel_values"], sample_posterior=False
+            {"params": p}, pixels_in, sample_posterior=False
         )
         recon = out["reconstruction"].astype(jnp.float32)
-        pixels = batch["pixel_values"].astype(jnp.float32)
+        pixels = pixels_in.astype(jnp.float32)
         per_sample_sq = jnp.mean(
             jnp.square(recon - pixels), axis=tuple(range(1, recon.ndim))
         )

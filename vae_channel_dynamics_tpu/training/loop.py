@@ -191,6 +191,7 @@ class Trainer:
             max_samples=dc.get("max_samples"),
             split=dc.get("train_split_name", "train"),
             seed=seed,
+            transfer_dtype=dc.get("transfer_dtype", "float32"),
         )
         # multi-host: each process loads a disjoint 1/process_count slice of
         # the global batch; arrays are stitched globally at device_put time
@@ -236,6 +237,7 @@ class Trainer:
                     image_column=dc.get("image_column", "image"),
                     resolution=resolution,
                     max_samples=dc.get("validation_max_samples"),
+                    transfer_dtype=dc.get("transfer_dtype", "float32"),
                     split=dc.get("validation_split_name", "validation"),
                     seed=seed,
                 )

@@ -87,6 +87,17 @@ def _masked_mean(per_sample: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def dequantize_pixels(pixel_values: jax.Array) -> jax.Array:
+    """uint8 batches (data.transfer_dtype: uint8 — 4x smaller host->device
+    transfers) dequantize to [-1, 1] float ON DEVICE; float batches pass
+    through. The uint8 path reproduces the reference pipeline exactly: PIL
+    resize yields uint8 images and ToTensor/Normalize maps v -> v/127.5 - 1
+    (src/data_utils.py:24-30)."""
+    if pixel_values.dtype == jnp.uint8:
+        return pixel_values.astype(jnp.float32) / 127.5 - 1.0
+    return pixel_values
+
+
 def _forward_with_stats(module, params, pixel_values, rng, sample_posterior):
     out, mutated = module.apply(
         {"params": params},
@@ -138,7 +149,7 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch, mask, rng):
         rng_step = jax.random.fold_in(rng, state.step)
-        pixel_values = batch["pixel_values"]
+        pixel_values = dequantize_pixels(batch["pixel_values"])
 
         def loss_fn(params):
             out, stats = _forward_with_stats(
@@ -194,7 +205,7 @@ def make_eval_step(module, mesh=None):
     evaluate.py (src/evaluate.py:231-240)."""
 
     def eval_fn(params, batch, mask):
-        pixel_values = batch["pixel_values"]
+        pixel_values = dequantize_pixels(batch["pixel_values"])
         out, _ = _forward_with_stats(module, params, pixel_values, None, False)
         recon = out["reconstruction"].astype(jnp.float32)
         pixels = pixel_values.astype(jnp.float32)
