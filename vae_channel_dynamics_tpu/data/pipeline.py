@@ -178,6 +178,68 @@ class IterableTransformedDataset:
                 logger.warning("Dropping bad streamed record: %s", e)
 
 
+class TarShardSource:
+    """Map-style source over WebDataset-style tar shards.
+
+    Production image datasets ship as tar shards, not million-file folders;
+    this reads a single ``.tar`` or every ``*.tar`` under a directory.
+    Member headers are indexed once at construction (one sequential pass per
+    shard); items are extracted lazily as raw bytes, which the transform
+    feeds straight to the native C++ decode when available. Extraction uses
+    one open TarFile per (thread, shard) — ``tarfile`` objects are not
+    thread-safe, and loader workers read concurrently."""
+
+    def __init__(self, path: str):
+        import tarfile
+
+        if os.path.isdir(path):
+            self.shards = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".tar")
+            )
+        else:
+            self.shards = [path]
+        if not self.shards:
+            raise ValueError(f"No .tar shards under {path}")
+        self.index: List[tuple] = []  # (shard_idx, member_name)
+        for si, shard in enumerate(self.shards):
+            with tarfile.open(shard, "r") as tf:
+                for member in tf:
+                    if member.isfile() and member.name.lower().endswith(
+                        _IMAGE_EXTENSIONS
+                    ):
+                        self.index.append((si, member.name))
+        if not self.index:
+            raise ValueError(f"No image members in shards under {path}")
+        self._local = threading.local()
+        logger.info(
+            "Tar dataset: %d image(s) across %d shard(s)",
+            len(self.index), len(self.shards),
+        )
+
+    def _open(self, shard_idx: int):
+        import tarfile
+
+        cache = getattr(self._local, "tars", None)
+        if cache is None:
+            cache = self._local.tars = {}
+        tf = cache.get(shard_idx)
+        if tf is None:
+            tf = cache[shard_idx] = tarfile.open(self.shards[shard_idx], "r")
+        return tf
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        shard_idx, name = self.index[index]
+        fobj = self._open(shard_idx).extractfile(name)
+        if fobj is None:
+            raise OSError(f"unreadable tar member {name}")
+        return {"image": fobj.read()}
+
+
 class ImageFolderSource:
     """Local directory of images (recursive), an offline stand-in for HF
     imagefolder datasets."""
@@ -310,6 +372,18 @@ def _resolve_dataset(
         return ds
 
     transform = get_transform(resolution)
+
+    is_tar = str(dataset_name).endswith(".tar") or (
+        os.path.isdir(dataset_name)
+        and any(f.endswith(".tar") for f in os.listdir(dataset_name))
+    )
+    if is_tar and (
+        os.path.isfile(dataset_name) or os.path.isdir(dataset_name)
+    ):
+        source = TarShardSource(dataset_name)
+        if max_samples is not None and max_samples < len(source):
+            source.index = source.index[:max_samples]
+        return TransformedDataset(source, "image", transform)
 
     if os.path.isdir(dataset_name):
         source = ImageFolderSource(dataset_name)
