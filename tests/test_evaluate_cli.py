@@ -118,3 +118,60 @@ def test_evaluate_cli_mesh_matches_single_device(tmp_path, monkeypatch):
         assert abs(single[key] - meshed[key]) <= 1e-4 * max(
             1.0, abs(single[key])
         ), f"{key}: {single[key]} vs {meshed[key]}"
+
+
+def test_evaluate_cli_uint8_transfer_matches_float(tmp_path):
+    """data.transfer_dtype: uint8 must change neither the metrics (beyond
+    float noise) nor break the PNG/logit-lens paths, because eval batches
+    dequantize on device and PNG saving dequantizes on host."""
+    import numpy as np
+
+    ckpt = tmp_path / "final_model"
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=1)
+    model_io.save_model_dir(str(ckpt / "vae"), wrapper.config, wrapper.params)
+
+    def run(transfer_dtype, out_split):
+        config = {
+            "seed": 0,
+            "data": {
+                "dataset_name": "synthetic://shapes",
+                "resolution": 32,
+                "batch_size": 4,
+                "validation_split_name": out_split,
+                "validation_max_samples": 8,
+                "validation_batch_size": 4,
+                "transfer_dtype": transfer_dtype,
+            },
+            "training": {"mixed_precision": "no"},
+        }
+        cfg_path = tmp_path / f"cfg_{transfer_dtype}.yaml"
+        cfg_path.write_text(yaml.safe_dump(config))
+        rc = evaluate_cli.main(
+            [
+                "--config_path", str(cfg_path),
+                "--checkpoint_path", str(ckpt),
+                "--eval_split", out_split,
+                "--num_samples_to_save", "1",
+            ]
+        )
+        assert rc == 0
+        outdir = ckpt / f"eval_results_{out_split}"
+        metrics = {}
+        for line in (outdir / "eval_metrics.txt").read_text().splitlines():
+            if line.startswith("Average"):
+                key, val = line.split(":")
+                metrics[key.strip()] = float(val)
+        # orig PNG must not be saturated garbage (the uint8 bug symptom was
+        # an all-white image)
+        from PIL import Image
+
+        orig = np.asarray(Image.open(outdir / "sample_0_orig.png"))
+        assert orig.std() > 1.0
+        return metrics
+
+    m_f32 = run("float32", "test")
+    m_u8 = run("uint8", "test")  # same split -> same images
+    # uint8 quantizes the INPUT pixels (the reference pipeline's own
+    # quantization), so metrics differ only at the quantization level
+    assert abs(m_f32["Average MSE"] - m_u8["Average MSE"]) < 5e-4, (m_f32, m_u8)
+    assert abs(m_f32["Average PSNR"] - m_u8["Average PSNR"]) < 0.5

@@ -59,10 +59,18 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _host_float_pixels(x: np.ndarray) -> np.ndarray:
+    """Host-side analog of training.step.dequantize_pixels for
+    ``data.transfer_dtype: uint8`` batches."""
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 127.5 - 1.0
+    return x
+
+
 def _to_png(arr_hwc_minus1_1: np.ndarray, path: str) -> None:
     from PIL import Image
 
-    img = np.clip((arr_hwc_minus1_1 + 1.0) / 2.0, 0.0, 1.0)
+    img = np.clip((_host_float_pixels(arr_hwc_minus1_1) + 1.0) / 2.0, 0.0, 1.0)
     Image.fromarray((img * 255).astype(np.uint8)).save(path)
 
 
@@ -266,7 +274,8 @@ def main(argv=None) -> int:
             logger.info("Running LogitLens on first batch activations...")
             wrapper.add_hooks(args.logit_lens_layers)
             wrapper.forward(
-                jnp.asarray(padded["pixel_values"]), sample_posterior=False
+                jnp.asarray(_host_float_pixels(padded["pixel_values"])),
+                sample_posterior=False,
             )
             activations = wrapper.get_captured_activations()
             for layer, act in activations.items():
