@@ -215,3 +215,22 @@ def test_npy_fast_path(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(req, timeout=30)
     assert err.value.code == 400
+
+
+def test_mesh_serving_matches_single_device(server):
+    """Under the 8-device conftest mesh the server shards padded batches
+    over the data axis; results must match an unsharded forward exactly."""
+    import jax
+
+    assert server.mesh is not None  # conftest provides 8 CPU devices
+    assert server.batcher.max_batch % len(jax.devices()) == 0
+    rng = np.random.default_rng(11)
+    pixels = rng.uniform(-1, 1, (RES, RES, 3)).astype(np.float32)
+    out = server.batcher.submit("reconstruct", pixels)
+    ref_wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    ref = np.asarray(
+        ref_wrapper.forward(pixels[None], sample_posterior=False)[
+            "reconstruction"
+        ]
+    )[0]
+    np.testing.assert_allclose(out, ref, atol=2e-5)

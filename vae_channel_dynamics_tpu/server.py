@@ -168,6 +168,7 @@ class VAEServer:
         max_wait_ms: float = 10.0,
         host: str = "127.0.0.1",
         port: int = 8400,
+        use_mesh: Optional[bool] = None,
     ):
         import jax
 
@@ -178,6 +179,21 @@ class VAEServer:
         self.transform = get_transform(self.resolution)
         self.platform = jax.devices()[0].platform
         self._jax = jax
+        # multi-device hosts shard the padded batch over a data mesh by
+        # default (GSPMD partitions the wrapper's jitted calls); max_batch
+        # rounds up to a device multiple so the static shape divides evenly
+        n_dev = len(jax.devices())
+        self.mesh = None
+        if (use_mesh is None and n_dev > 1) or use_mesh:
+            from .parallel import make_mesh
+            from .parallel.mesh import batch_sharding, replicated_sharding
+
+            self.mesh = make_mesh()
+            self._batch_sharding = batch_sharding(self.mesh)
+            max_batch = -(-max(1, int(max_batch)) // n_dev) * n_dev
+            self.wrapper.params = jax.device_put(
+                self.wrapper.params, replicated_sharding(self.mesh)
+            )
         self.started = time.time()
         self.requests = 0
         self.errors = 0
@@ -240,7 +256,10 @@ class VAEServer:
         deterministic = not kind.endswith("@sample")
         op = kind.split("@", 1)[0]
         padded, n = self._pad(stacked.astype(np.float32))
-        x = jnp.asarray(padded)
+        if self.mesh is not None:
+            x = self._jax.device_put(padded, self._batch_sharding)
+        else:
+            x = jnp.asarray(padded)
         if op == "encode":
             y = self.wrapper.encode(x, deterministic=deterministic)
         elif op == "decode":
