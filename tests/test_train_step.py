@@ -226,3 +226,41 @@ def test_map_keys_variant_returns_full_maps():
         "mean_abs_activation_per_channel_overall_mean" in wm
     )
     assert "tracking/vae.encoder.conv_in.output/full_activation_map_mean" in wm
+
+
+def test_uint8_batch_under_mesh_matches_float():
+    """uint8 transfer composes with data-sharded SPMD: the dequantize slots
+    into the sharded program and losses match the float path."""
+    import jax
+
+    from vae_channel_dynamics_tpu.data.pipeline import quantize_uint8
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+    from vae_channel_dynamics_tpu.parallel.mesh import replicated_sharding
+
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    rng = np.random.default_rng(5)
+    floats = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+    q = quantize_uint8(floats)
+    deq = q.astype(np.float32) / 127.5 - 1.0
+    params_host = jax.device_get(
+        module.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32, 32, 3)),
+            sample_posterior=False,
+        )["params"]
+    )
+    mesh = make_mesh()
+    mask = np.ones(8, np.float32)
+    losses = {}
+    for name, batch in (("uint8", q), ("float", deq)):
+        tx, _ = build_optimizer(1e-4, warmup_steps=1, max_train_steps=10)
+        # fresh device buffers each round: the sharded step donates the state
+        state = TrainState.create(jax.device_put(params_host), tx, stats_acc={})
+        state = jax.device_put(state, replicated_sharding(mesh))
+        step = make_train_step(module, tx, 1e-6, mesh=mesh)
+        _, metrics, _ = step(
+            state, {"pixel_values": batch}, mask, jax.random.PRNGKey(3)
+        )
+        losses[name] = float(jax.device_get(metrics["train_loss_step"]))
+    np.testing.assert_allclose(losses["uint8"], losses["float"], rtol=1e-6)
