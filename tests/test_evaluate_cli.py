@@ -175,3 +175,35 @@ def test_evaluate_cli_uint8_transfer_matches_float(tmp_path):
     # quantization), so metrics differ only at the quantization level
     assert abs(m_f32["Average MSE"] - m_u8["Average MSE"]) < 5e-4, (m_f32, m_u8)
     assert abs(m_f32["Average PSNR"] - m_u8["Average PSNR"]) < 0.5
+
+
+def test_max_eval_samples_flag(tmp_path):
+    ckpt = tmp_path / "final_model"
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=1)
+    model_io.save_model_dir(str(ckpt / "vae"), wrapper.config, wrapper.params)
+    config = {
+        "seed": 0,
+        "data": {
+            "dataset_name": "synthetic://shapes",
+            "resolution": 32,
+            "batch_size": 4,
+            "validation_split_name": "test",
+            "validation_max_samples": 64,
+        },
+        "training": {"mixed_precision": "no"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = evaluate_cli.main(
+        [
+            "--config_path", str(cfg_path),
+            "--checkpoint_path", str(ckpt),
+            "--eval_split", "test",
+            "--max_eval_samples", "8",
+            "--num_samples_to_save", "0",
+            "--enable_logit_lens", "false",
+        ]
+    )
+    assert rc == 0
+    metrics = (ckpt / "eval_results_test" / "eval_metrics.txt").read_text()
+    assert "Number of Samples Processed: 8" in metrics

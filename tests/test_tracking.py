@@ -318,3 +318,81 @@ def test_monitor_disabled_is_inert():
     mon = ActivityMonitor({"enabled": False})
     assert mon.scalar_capture_table == ()
     assert mon.step(10, {}, jnp.asarray(0.0)) == {}
+
+
+def test_max_map_history_evicts_to_summaries():
+    """tracking.max_map_history bounds full-map host memory while keeping
+    the CSV export records identical for evicted steps."""
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.tracking.monitor import (
+        ActivityMonitor,
+        MapSummary,
+    )
+
+    def build(max_hist):
+        return ActivityMonitor(
+            {
+                "enabled": True,
+                "track_interval": 1,
+                "max_map_history": max_hist,
+                "target_layers": [
+                    {
+                        "name": "vae.encoder.conv_in",
+                        "capture_point": "output",
+                        "metrics": [
+                            "mean_abs_activation_per_channel",
+                            "full_activation_map",
+                        ],
+                    }
+                ],
+            }
+        )
+
+    rng = np.random.default_rng(0)
+    maps = {
+        step: rng.uniform(-1, 1, (2, 4, 4, 3)).astype(np.float32)
+        for step in (1, 2, 3)
+    }
+
+    def feed(monitor):
+        for step, arr in maps.items():
+            acc = {
+                "encoder.conv_in.output.mean_abs_activation_per_channel":
+                    jnp.asarray(np.abs(arr).mean((0, 1, 2))),
+            }
+            monitor.step(
+                step, acc, jnp.asarray(1.0),
+                {"encoder.conv_in.output.full_activation_map":
+                    jnp.asarray(arr)},
+            )
+
+    bounded = build(1)
+    feed(bounded)
+    unbounded = build(0)
+    feed(unbounded)
+
+    # old steps hold summaries, the newest keeps its real map
+    assert isinstance(
+        bounded.get_data_for_step(1)["vae.encoder.conv_in.output"][
+            "full_activation_map"
+        ],
+        MapSummary,
+    )
+    assert isinstance(
+        bounded.get_data_for_step(3)["vae.encoder.conv_in.output"][
+            "full_activation_map"
+        ],
+        np.ndarray,
+    )
+    # CSV export is identical with and without eviction
+    rec_b = bounded.export_all_processed_data_to_records()
+    rec_u = unbounded.export_all_processed_data_to_records()
+    assert len(rec_b) == len(rec_u)
+    for a, b in zip(rec_b, rec_u):
+        assert a.keys() == b.keys()
+        for k in a:
+            if isinstance(a[k], float):
+                np.testing.assert_allclose(a[k], b[k], rtol=1e-6)
+            else:
+                assert a[k] == b[k], (k, a, b)

@@ -35,6 +35,9 @@ def parse_args(argv=None):
     parser.add_argument("--eval_split", type=str, default="test")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--num_samples_to_save", type=int, default=16)
+    parser.add_argument("--max_eval_samples", type=int, default=None,
+                        help="Cap the evaluated samples (overrides the "
+                             "config's validation_max_samples).")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument(
         "--enable_logit_lens", default=True,
@@ -162,6 +165,8 @@ def main(argv=None) -> int:
         dataset_name = dc.get("dataset_name")
         dataset_config_name = dc.get("dataset_config_name")
         max_samples = None
+    if args.max_eval_samples is not None:
+        max_samples = args.max_eval_samples
     resolution = as_int(dc.get("resolution"), 256)
     eval_dataset = load_and_preprocess_dataset(
         dataset_name=dataset_name,

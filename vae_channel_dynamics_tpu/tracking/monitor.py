@@ -42,6 +42,25 @@ _KNOWN_METRICS = (
 )
 
 
+class MapSummary:
+    """Eviction placeholder for a full activation map
+    (``tracking.max_map_history``): keeps exactly the statistics the CSV
+    export emits for maps, at none of the memory."""
+
+    __slots__ = ("shape", "stats")
+
+    def __init__(self, arr):
+        a = np.asarray(arr)
+        self.shape = tuple(a.shape)
+        a32 = a.astype(np.float32)
+        self.stats = {
+            "mean": float(np.mean(a32)),
+            "std": float(np.std(a32)),
+            "min": float(np.min(a32)),
+            "max": float(np.max(a32)),
+        }
+
+
 class ActivityMonitor:
     """Parses ``tracking`` config into capture tables and owns aggregation.
 
@@ -56,6 +75,16 @@ class ActivityMonitor:
         self.enabled = bool(self.config.get("enabled", False))
         self.track_interval = int(self.config.get("track_interval", 100))
         self.processed_data_by_step: Dict[int, Dict[str, Dict[str, Any]]] = {}
+        # tracking.max_map_history [new]: cap on how many intervals keep
+        # their FULL activation maps in host memory (a 100 MB+ tensor per
+        # tracked layer per interval on the SDXL model). 0 = keep all, the
+        # reference's behavior (it retains every interval's maps for the
+        # run's lifetime, src/tracking/monitor.py:166-178). Older maps are
+        # replaced by MapSummary placeholders carrying exactly the stats the
+        # final CSV export needs, so the export schema is unchanged; only
+        # re-visualization of old steps becomes impossible (the logit lens
+        # always reads the current interval).
+        self.max_map_history = int(self.config.get("max_map_history", 0))
 
         # stat_key ("<norm_name>.<point>.<metric>") -> (layer_identifier, metric)
         self.key_to_identifier: Dict[str, Tuple[str, str]] = {}
@@ -211,10 +240,34 @@ class ActivityMonitor:
             logger.info(
                 "ActivityMonitor processed data for step %d.", global_step
             )
+            self._evict_old_maps()
         return wandb_metrics
 
     def get_data_for_step(self, global_step: int) -> Dict[str, Any]:
         return self.processed_data_by_step.get(global_step, {})
+
+    def _evict_old_maps(self) -> None:
+        """Replace full maps older than the newest ``max_map_history``
+        intervals with :class:`MapSummary` placeholders (same CSV records,
+        none of the memory)."""
+        if self.max_map_history <= 0:
+            return
+        steps_with_maps = sorted(
+            step
+            for step, data in self.processed_data_by_step.items()
+            if any(
+                "full_activation_map" in metrics
+                and not isinstance(
+                    metrics["full_activation_map"], MapSummary
+                )
+                for metrics in data.values()
+            )
+        )
+        for step in steps_with_maps[: -self.max_map_history]:
+            for metrics in self.processed_data_by_step[step].values():
+                value = metrics.get("full_activation_map")
+                if value is not None and not isinstance(value, MapSummary):
+                    metrics["full_activation_map"] = MapSummary(value)
 
     # ------------------------------------------------------------------ #
     def export_all_processed_data_to_records(self) -> List[Dict[str, Any]]:
@@ -230,6 +283,17 @@ class ActivityMonitor:
                         "layer_identifier": identifier,
                         "original_metric_name": metric,
                     }
+                    if isinstance(value, MapSummary):
+                        records.append(
+                            {**base, "metric_type": "full_map_shape",
+                             "metric_value": str(value.shape)}
+                        )
+                        for stat in ("mean", "std", "min", "max"):
+                            records.append(
+                                {**base, "metric_type": f"full_map_{stat}",
+                                 "metric_value": value.stats[stat]}
+                            )
+                        continue
                     arr = np.asarray(value)
                     if arr.ndim == 0:
                         records.append(
