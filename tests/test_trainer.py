@@ -2,6 +2,8 @@
 diffusers conversion tool."""
 
 import json
+
+import jax
 import os
 
 import numpy as np
@@ -225,3 +227,58 @@ def test_train_cli_auto_resume_no_checkpoint(tmp_path, monkeypatch):
     assert any(p.name.startswith("chkpt-") for p in run_dir.iterdir())
     rc = train_cli.main(["--config_path", str(cfg_path), "--resume_from", "auto"])
     assert rc == 0
+
+
+def test_seed_determinism(tmp_path):
+    """Two trainers with the same seed produce bit-identical final params
+    and loss trajectories (init, data order, posterior sampling, nudges are
+    all keyed off config.seed)."""
+    import json
+
+    import numpy as np
+
+    from vae_channel_dynamics_tpu.models import io as model_io
+
+    def run(name):
+        cfg = {
+            "run_name": name,
+            "output_dir": str(tmp_path),
+            "seed": 7,
+            "model": {"pretrained_vae_name": None, "architecture": "tiny"},
+            "data": {
+                "dataset_name": "synthetic://shapes?num_samples=32",
+                "resolution": 32,
+                "batch_size": 8,
+                "do_validation": False,
+            },
+            "training": {
+                "num_train_epochs": 2,
+                "learning_rate": 1e-4,
+                "kl_weight": 1e-6,
+                "lr_warmup_steps": 2,
+                "mixed_precision": "no",
+            },
+            "logging": {"log_interval": 1, "report_to": "jsonl"},
+            "saving": {"save_interval_steps": 1000},
+        }
+        trainer = Trainer(cfg)
+        summary = trainer.train()
+        _, params = model_io.load_model_dir(
+            os.path.join(summary["final_model_dir"], "vae")
+        )
+        losses = [
+            json.loads(line)["train_loss_step"]
+            for line in open(
+                os.path.join(str(tmp_path), name, "metrics.jsonl")
+            )
+            if "train_loss_step" in line
+        ]
+        return params, losses
+
+    params_a, losses_a = run("det_a")
+    params_b, losses_b = run("det_b")
+    assert losses_a and losses_a == losses_b
+    for a, b in zip(
+        jax.tree.leaves(params_a), jax.tree.leaves(params_b)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

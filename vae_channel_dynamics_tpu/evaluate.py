@@ -13,6 +13,7 @@ logit lens on the first batch's captured activations, and write
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 import sys
@@ -326,6 +327,21 @@ def main(argv=None) -> int:
         f.write(f"Average PSNR: {final_psnr}\n")
         f.write(f"Average SSIM: {final_ssim}\n")
     logger.info("Evaluation metrics saved to %s", metrics_path)
+    # machine-readable twin of the reference's txt artifact
+    with open(os.path.join(args.output_dir, "eval_metrics.json"), "w") as f:
+        json.dump(
+            {
+                "eval_split": args.eval_split,
+                "checkpoint_path": args.checkpoint_path,
+                "num_samples": int(num_eval_samples),
+                "mse": float(avg_mse),
+                "kl": float(avg_kl),
+                "psnr": float(final_psnr),
+                "ssim": float(final_ssim),
+            },
+            f,
+            indent=2,
+        )
     return 0
 
 
