@@ -88,3 +88,31 @@ def test_reference_nudge_config_quirk_threshold(reference_configs_dir):
         os.path.join(reference_configs_dir, "experiment_cifar10_nudge.yaml")
     )
     assert "threshold" not in cfg or isinstance(cfg.get("threshold"), (int, float, str))
+
+
+def test_warn_unknown_keys(caplog):
+    import logging as _logging
+
+    from vae_channel_dynamics_tpu.utils.config_utils import warn_unknown_keys
+
+    config = {
+        "run_name": "x",
+        "data": {"dataset_name": "a", "trasfer_dtype": "uint8"},  # typo
+        "trainign": {"learning_rate": 1},  # typo'd section
+        "notes": "free-form notes are known",
+        "training": {"learning_rate": 1e-4},
+    }
+    with caplog.at_level(_logging.WARNING):
+        unknown = warn_unknown_keys(config)
+    assert sorted(unknown) == ["data.trasfer_dtype", "trainign"]
+    assert "trasfer_dtype" in caplog.text
+
+    # all reference configs pass clean (no false positives)
+    import glob
+
+    from vae_channel_dynamics_tpu.utils.config_utils import load_config
+
+    for path in glob.glob("/root/reference/configs/*.yaml"):
+        assert warn_unknown_keys(load_config(path)) == [], path
+    for path in glob.glob("configs/*.yaml"):
+        assert warn_unknown_keys(load_config(path)) == [], path

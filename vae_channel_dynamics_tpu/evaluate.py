@@ -114,12 +114,13 @@ def main(argv=None) -> int:
         pad_batch_to_multiple,
         vector_sharding,
     )
-    from .utils.config_utils import as_int, load_config
+    from .utils.config_utils import warn_unknown_keys, as_int, load_config
     from .utils.logging_utils import setup_logging
 
     setup_logging()
     args = parse_args(argv)
     config = load_config(args.config_path)
+    warn_unknown_keys(config)
 
     if args.output_dir is None:
         args.output_dir = os.path.join(

@@ -33,12 +33,13 @@ def parse_args(argv=None):
 def main(argv=None) -> int:
     apply_platform_env()
     from .training.loop import Trainer
-    from .utils.config_utils import load_config
+    from .utils.config_utils import warn_unknown_keys, load_config
     from .utils.logging_utils import setup_logging
 
     setup_logging()
     args = parse_args(argv)
     config = load_config(args.config_path)
+    warn_unknown_keys(config)
     resume_from = args.resume_from
     if resume_from == "auto":
         # find the newest periodic checkpoint in this run's output dir

@@ -85,3 +85,93 @@ def as_int(value: Any, default: int) -> int:
     if value is None:
         return default
     return int(value)
+
+
+# --------------------------------------------------------------------------- #
+# Typo detection: the schema ignores unknown keys silently (reference
+# behavior — configs carry extra keys like `notes:` freely), which also
+# swallows typos like `trasfer_dtype`. warn_unknown_keys logs a warning per
+# unrecognized key without changing any behavior.
+# --------------------------------------------------------------------------- #
+_KNOWN_KEYS: Dict[str, Any] = {
+    # top level
+    "project_name", "run_name", "output_dir", "seed", "threshold",
+    "mean_percentage", "dead_type", "defaults", "notes", "description",
+    "model", "data", "training", "logging", "saving",
+    "dead_neuron_tracking", "tracking", "logit_lens", "classification",
+    "intervention", "parallel", "profiling",
+}
+
+_KNOWN_SECTION_KEYS: Dict[str, set] = {
+    "model": {
+        "pretrained_vae_name", "architecture", "init_seed", "kernel_impl",
+        "remat",
+    },
+    "data": {
+        "dataset_name", "dataset_config_name", "image_column", "resolution",
+        "max_samples", "batch_size", "num_workers", "do_validation",
+        "validation_split_name", "validation_dataset_name",
+        "validation_dataset_config_name", "validation_max_samples",
+        "validation_batch_size", "train_split_name", "transfer_dtype",
+        "streaming", "cache_dir",
+    },
+    "training": {
+        "num_train_epochs", "learning_rate", "adam_beta1", "adam_beta2",
+        "adam_weight_decay", "adam_epsilon", "lr_scheduler_type",
+        "lr_warmup_steps", "gradient_accumulation_steps", "mixed_precision",
+        "max_grad_norm", "kl_weight", "validation_epochs",
+        "validation_steps", "max_steps_per_epoch_iterable",
+        "abort_on_nonfinite",
+    },
+    "logging": {"log_interval", "report_to", "entity"},
+    "saving": {
+        "save_interval_steps", "save_interval", "checkpoint_dir_prefix",
+        "keep_last_n", "async_save",
+    },
+    "dead_neuron_tracking": {
+        "enabled", "track_interval", "target_layer_names_for_raw_weights",
+        # present in shipped reference configs but read from the TOP level
+        # (quirk SURVEY.md §5a-2) — known, not a typo
+        "threshold", "mean_percentage", "dead_type",
+    },
+    "tracking": {
+        "enabled", "track_interval", "target_layers", "max_map_history",
+    },
+    "logit_lens": {
+        "enabled", "visualization_interval", "visualization_output_subdir",
+        "target_tracked_metrics", "layers_to_analyze_direct",
+        "num_channels_to_viz", "num_batch_samples_to_viz", "colormap",
+        "run_mini_decoder_projection", "projection_type",
+        "default_num_batch_samples_to_viz",
+    },
+    "classification": {
+        "enabled", "method", "threshold", "target_metric_key",
+        "layers_to_classify",
+    },
+    "intervention": {
+        "enabled", "strategy", "nudge_factor", "nudge_value_add",
+        "max_scale_value", "intervention_interval",
+    },
+    "parallel": {"spatial"},
+    "profiling": {"enabled", "start_step", "num_steps", "output_subdir"},
+}
+
+
+def warn_unknown_keys(config: Dict[str, Any]) -> list:
+    """Log a warning for every unrecognized config key (one level deep into
+    the known sections). Returns the list of warned dotted keys. Behavior is
+    never changed — unknown keys keep flowing through untouched."""
+    unknown = []
+    for key in config:
+        if key not in _KNOWN_KEYS:
+            unknown.append(key)
+        section_schema = _KNOWN_SECTION_KEYS.get(key)
+        if section_schema and isinstance(config[key], dict):
+            for sub in config[key]:
+                if sub not in section_schema:
+                    unknown.append(f"{key}.{sub}")
+    for key in unknown:
+        logger.warning(
+            "Unrecognized config key '%s' — ignored (typo?)", key
+        )
+    return unknown
