@@ -282,3 +282,88 @@ def test_seed_determinism(tmp_path):
         jax.tree.leaves(params_a), jax.tree.leaves(params_b)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_params(tmp_path):
+    """training.ema_decay maintains an in-graph parameter EMA and exports it
+    as final_model/vae_ema; the EMA tracks between the init and the live
+    params."""
+    import numpy as np
+
+    from vae_channel_dynamics_tpu.models import io as model_io
+
+    cfg = {
+        "run_name": "ema_run",
+        "output_dir": str(tmp_path),
+        "seed": 3,
+        "model": {"pretrained_vae_name": None, "architecture": "tiny"},
+        "data": {
+            "dataset_name": "synthetic://shapes?num_samples=16",
+            "resolution": 32,
+            "batch_size": 8,
+            "do_validation": False,
+        },
+        "training": {
+            "num_train_epochs": 2,
+            "learning_rate": 1e-3,
+            "ema_decay": 0.9,
+            "mixed_precision": "no",
+            "lr_warmup_steps": 1,
+        },
+        "logging": {"log_interval": 10, "report_to": "none"},
+        "saving": {"save_interval_steps": 1000},
+    }
+    summary = Trainer(cfg).train()
+    assert "ema_model_dir" in summary
+    _, raw = model_io.load_model_dir(
+        os.path.join(summary["final_model_dir"], "vae")
+    )
+    _, ema = model_io.load_model_dir(summary["ema_model_dir"])
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(ema))
+    ]
+    # EMA lags the live params (differs) but stays in their neighborhood
+    assert max(diffs) > 0.0
+    assert max(diffs) < 0.1
+
+
+def test_ema_math_unit():
+    """One jitted step applies ema' = d*ema + (1-d)*params exactly."""
+    import numpy as np
+
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+    import jax.numpy as jnp
+
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(
+        np.float32
+    )
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)),
+        sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, warmup_steps=0, max_train_steps=10)
+    state = TrainState.create(params, tx, stats_acc={}, ema=True)
+    step = make_train_step(module, tx, 1e-6, donate=False, ema_decay=0.5)
+    new_state, _, _ = step(
+        state, {"pixel_values": x}, np.ones(2, np.float32),
+        jax.random.PRNGKey(1),
+    )
+    for e0, p1, e1 in zip(
+        jax.tree.leaves(params),  # ema starts as a copy of init params
+        jax.tree.leaves(new_state.params),
+        jax.tree.leaves(new_state.ema_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(e1),
+            0.5 * np.asarray(e0) + 0.5 * np.asarray(p1),
+            atol=1e-7,
+        )

@@ -341,7 +341,12 @@ class Trainer:
         batch_shape = (global_batch, resolution, resolution, vae_config.in_channels)
         stats_acc = monitor.init_acc(module_plain, params, batch_shape)
 
-        state = TrainState.create(params, tx, stats_acc=stats_acc)
+        # training.ema_decay [new]: exponential moving average of params,
+        # updated in-graph each step; exported as final_model/vae_ema
+        ema_decay = as_float(tc.get("ema_decay"), 0.0)
+        state = TrainState.create(
+            params, tx, stats_acc=stats_acc, ema=ema_decay > 0.0
+        )
         if self.resume_from:
             state = restore_train_state(self.resume_from, state)
             logger.info("Resumed from %s at step %d", self.resume_from, int(state.step))
@@ -350,7 +355,7 @@ class Trainer:
 
         step_plain = make_train_step(
             module_plain, tx, self.kl_weight, mesh=mesh,
-            stats_accumulate=ActivityMonitor.accumulate,
+            stats_accumulate=ActivityMonitor.accumulate, ema_decay=ema_decay,
         )
         step_maps = None
         if monitor.enabled and monitor.map_keys:
@@ -361,7 +366,7 @@ class Trainer:
             step_maps = make_train_step(
                 module_maps, tx, self.kl_weight, mesh=mesh,
                 stats_accumulate=ActivityMonitor.accumulate,
-                map_keys=monitor.map_keys,
+                map_keys=monitor.map_keys, ema_decay=ema_decay,
             )
         eval_step = make_eval_step(module_plain, mesh=mesh) if do_validation else None
 
@@ -842,6 +847,13 @@ class Trainer:
         )
         logger.info("Final VAE saved to %s", vae_dir)
         summary["final_model_dir"] = final_dir
+        if state.ema_params is not None:
+            ema_dir = os.path.join(final_dir, "vae_ema")
+            model_io.save_model_dir(
+                ema_dir, vae_config, jax.device_get(state.ema_params)
+            )
+            logger.info("EMA VAE saved to %s", ema_dir)
+            summary["ema_model_dir"] = ema_dir
 
         activity_csv = None
         if monitor.enabled:

@@ -22,15 +22,19 @@ class TrainState(struct.PyTreeNode):
     # {stat_key: running sum of per-forward values} + forward count
     stats_acc: Dict[str, jax.Array] = struct.field(default_factory=dict)
     stats_count: jax.Array = struct.field(default_factory=lambda: jnp.zeros((), jnp.float32))
+    # exponential moving average of params (training.ema_decay > 0);
+    # None when disabled so checkpoints keep their pre-EMA layout
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, tx, stats_acc=None) -> "TrainState":
+    def create(cls, params, tx, stats_acc=None, ema: bool = False) -> "TrainState":
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             stats_acc=stats_acc or {},
             stats_count=jnp.zeros((), jnp.float32),
+            ema_params=jax.tree.map(jnp.array, params) if ema else None,
         )
 
     def reset_stats(self) -> "TrainState":

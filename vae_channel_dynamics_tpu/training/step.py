@@ -136,6 +136,7 @@ def make_train_step(
     stats_accumulate: Optional[Callable] = None,
     map_keys: Tuple[str, ...] = (),
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted train step.
 
@@ -170,12 +171,21 @@ def make_train_step(
         scalar_stats = {k: v for k, v in stats.items() if k not in maps}
         new_acc = accumulate(state.stats_acc, scalar_stats)
 
+        ema_params = state.ema_params
+        if ema_decay > 0.0 and ema_params is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            ema_params = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                ema_params, params,
+            )
+
         new_state = state.replace(
             step=state.step + 1,
             params=params,
             opt_state=opt_state,
             stats_acc=new_acc,
             stats_count=state.stats_count + 1.0,
+            ema_params=ema_params,
         )
         metrics = {
             "train_loss_step": loss,
