@@ -131,8 +131,15 @@ def main(argv=None) -> int:
 
     model_load_path = os.path.join(args.checkpoint_path, "vae")
     if not os.path.isdir(model_load_path):
-        logger.error("VAE model directory not found at: %s", model_load_path)
-        return 1
+        # a bare model dir (e.g. final_model/vae_ema) works directly, as in
+        # the serve CLI
+        if os.path.exists(os.path.join(args.checkpoint_path, "config.json")):
+            model_load_path = args.checkpoint_path
+        else:
+            logger.error(
+                "VAE model directory not found at: %s", model_load_path
+            )
+            return 1
     vae_config, params = model_io.load_model_dir(model_load_path)
 
     mixed_precision = config.get("training", {}).get("mixed_precision", "no")
