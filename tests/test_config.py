@@ -116,3 +116,21 @@ def test_warn_unknown_keys(caplog):
         assert warn_unknown_keys(load_config(path)) == [], path
     for path in glob.glob("configs/*.yaml"):
         assert warn_unknown_keys(load_config(path)) == [], path
+
+
+def test_known_keys_cover_documented_extensions():
+    """Every framework extension key must be in the warn schema (a warning
+    on our own documented keys would be a bug — caught live with ema_decay)."""
+    from vae_channel_dynamics_tpu.utils.config_utils import warn_unknown_keys
+
+    config = {
+        "model": {"kernel_impl": "auto", "remat": "conv", "init_seed": 1,
+                  "architecture": "sdxl"},
+        "data": {"transfer_dtype": "uint8", "streaming": True},
+        "training": {"ema_decay": 0.999, "abort_on_nonfinite": False},
+        "saving": {"keep_last_n": 3, "async_save": True},
+        "tracking": {"max_map_history": 2},
+        "parallel": {"spatial": 2},
+        "profiling": {"enabled": True},
+    }
+    assert warn_unknown_keys(config) == []
