@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -234,3 +235,179 @@ def test_mesh_serving_matches_single_device(server):
         ]
     )[0]
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Overload hardening (round 3): 413 body cap, 503 shedding, shape guard
+# --------------------------------------------------------------------------- #
+def test_oversized_body_rejected_before_read(server):
+    """A hostile Content-Length above the cap gets 413 WITHOUT the server
+    reading (or allocating) the declared body."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/reconstruct")
+        declared = server.max_body_bytes + 1
+        conn.putheader("Content-Length", str(declared))
+        conn.endheaders()
+        # body intentionally NOT sent: the server must answer from the
+        # header alone (reject-before-read)
+        resp = conn.getresponse()
+        assert resp.status == 413
+        info = json.loads(resp.read())
+        assert "exceeds limit" in info["error"]
+    finally:
+        conn.close()
+
+
+def test_negative_content_length_is_client_error(server):
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/reconstruct")
+        conn.putheader("Content-Length", "-5")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+    finally:
+        conn.close()
+
+
+def test_decode_rejects_unexpected_latent_shape(server):
+    """/decode serves exactly one latent shape; anything else is a 400
+    (a novel shape would stall the worker on a fresh XLA compile)."""
+    h, w, c = server.latent_shape
+    bad = io.BytesIO()
+    np.save(bad, np.zeros((h * 2, w * 2, c), np.float32))
+    req = urllib.request.Request(
+        _url(server, "/decode"), data=bad.getvalue(), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400
+    assert "latents must be" in err.value.read().decode()
+
+    # the advertised shape still works
+    good = io.BytesIO()
+    np.save(good, np.zeros((h, w, c), np.float32))
+    status, headers, _ = _post(server, "/decode", good.getvalue())
+    assert status == 200
+    assert headers["Content-Type"] == "image/png"
+
+
+def test_microbatcher_sheds_load_beyond_max_queue():
+    """A burst deeper than max_queue: excess submits fail fast with
+    BatcherOverloaded; every accepted item still completes."""
+    from vae_channel_dynamics_tpu.server import BatcherOverloaded
+
+    release = threading.Event()
+
+    def runner(kind, stacked):
+        release.wait(timeout=30)
+        return stacked * 2
+
+    mb = MicroBatcher(runner, max_batch=1, max_wait_ms=0.0, max_queue=2)
+    # occupy the worker so subsequent submits queue up
+    first_done = threading.Event()
+    threading.Thread(
+        target=lambda: (mb.submit("x", np.zeros((1,))), first_done.set()),
+        daemon=True,
+    ).start()
+    deadline = time.monotonic() + 10
+    while mb._queue.qsize() > 0 and time.monotonic() < deadline:
+        time.sleep(0.005)  # worker picked up the first item
+
+    outcomes = []
+    lock = threading.Lock()
+
+    def fire():
+        try:
+            mb.submit("x", np.zeros((1,)))
+            with lock:
+                outcomes.append("ok")
+        except BatcherOverloaded:
+            with lock:
+                outcomes.append("shed")
+
+    threads = [threading.Thread(target=fire) for _ in range(8)]
+    for t in threads:
+        t.start()
+    time.sleep(0.2)  # let the burst land while the worker is blocked
+    release.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert first_done.wait(timeout=30)
+    assert outcomes.count("shed") >= 6, outcomes  # only 2 could queue
+    assert outcomes.count("ok") == len(outcomes) - outcomes.count("shed")
+    assert mb.rejected == outcomes.count("shed")
+    mb.close()
+
+
+def test_http_overload_returns_503():
+    """End-to-end: a burst against a max_queue=1 server yields at least one
+    503 with Retry-After, successes still succeed, and /stats counts the
+    rejects."""
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    srv = VAEServer(
+        wrapper, resolution=RES, max_batch=1, max_wait_ms=0.0, port=0,
+        max_queue=1,
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        # slow the device path down so the burst actually queues
+        orig = srv.batcher._runner
+
+        def slow_runner(kind, stacked):
+            time.sleep(0.3)
+            return orig(kind, stacked)
+
+        srv.batcher._runner = slow_runner
+        pixels = np.zeros((RES, RES, 3), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, pixels)
+        body = buf.getvalue()
+
+        statuses = []
+        lock = threading.Lock()
+
+        def fire():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/reconstruct?format=npy",
+                data=body, method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    with lock:
+                        statuses.append(resp.status)
+            except urllib.error.HTTPError as e:
+                with lock:
+                    statuses.append(e.code)
+                if e.code == 503:
+                    assert e.headers.get("Retry-After") is not None
+
+        threads = [threading.Thread(target=fire) for _ in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert 503 in statuses, statuses
+        assert 200 in statuses, statuses
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["rejected_overload"] >= statuses.count(503) > 0
+        assert stats["max_queue"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_microbatcher_close_is_idempotent_and_race_safe():
+    mb = MicroBatcher(lambda k, s: s, max_batch=2, max_wait_ms=1.0)
+    mb.close()
+    mb.close()  # second close is a no-op, not an error
+    with pytest.raises(RuntimeError, match="stopped"):
+        mb.submit("x", np.zeros((1,)))

@@ -25,6 +25,14 @@ Endpoints (stdlib http.server, no new dependencies):
   POST /encode           image bytes -> scaled latents as .npy
   POST /decode           .npy latents (one image, HxWx4) -> PNG
 Query ``?deterministic=false`` samples the posterior instead of its mode.
+
+Overload behavior (part of the serving spec): request bodies above
+``--max_body_mb`` are rejected with 413 before the body is read; when more
+than ``--max_queue`` requests are waiting on the batcher, new requests are
+shed with 503 + Retry-After (counted in /stats ``rejected_overload``);
+connections carry a ``--read_timeout_s`` socket timeout so stalled clients
+cannot pin handler threads. No client byte stream can trigger unbounded
+allocation or queueing.
 """
 
 from __future__ import annotations
@@ -63,6 +71,11 @@ class _Pending:
         self.error: Optional[BaseException] = None
 
 
+class BatcherOverloaded(RuntimeError):
+    """Raised by submit() when the waiting queue is at max_queue — the
+    HTTP layer maps this to 503 so overload sheds instead of piling up."""
+
+
 class MicroBatcher:
     """Coalesce concurrent single-item requests into padded device batches.
 
@@ -71,37 +84,58 @@ class MicroBatcher:
     elapsed since the first. Items are grouped by kind (encode/decode/...)
     and each group runs as ONE ``runner`` call on a batch padded to
     ``max_batch`` — so the device sees a single static shape per kind.
+
+    Backpressure: at most ``max_queue`` items may wait; beyond that
+    ``submit`` raises :class:`BatcherOverloaded` immediately (load shedding)
+    instead of queueing unboundedly.
     """
 
-    def __init__(self, runner, max_batch: int = 8, max_wait_ms: float = 10.0):
+    def __init__(self, runner, max_batch: int = 8, max_wait_ms: float = 10.0,
+                 max_queue: int = 64):
         self._runner = runner
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max(0.0, float(max_wait_ms) / 1e3)
+        self.max_queue = max(1, int(max_queue))
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stopped = False
+        # serializes enqueue vs close: a submit that passed the _stopped
+        # check cannot interleave its put() with close()'s drain
+        self._submit_lock = threading.Lock()
         self.batch_calls = 0
         self.items_served = 0
+        self.rejected = 0
         self._thread = threading.Thread(
             target=self._worker, name="vcd-batcher", daemon=True
         )
         self._thread.start()
 
     def submit(self, kind: str, payload: np.ndarray) -> np.ndarray:
-        if self._stopped:
-            raise RuntimeError("batcher stopped")
         item = _Pending(kind, payload)
-        self._queue.put(item)
+        with self._submit_lock:
+            if self._stopped:
+                raise RuntimeError("batcher stopped")
+            if self._queue.qsize() >= self.max_queue:
+                self.rejected += 1
+                raise BatcherOverloaded(
+                    f"batch queue full ({self.max_queue} waiting)"
+                )
+            self._queue.put(item)
         item.event.wait()
         if item.error is not None:
             raise item.error
         return item.result
 
     def close(self) -> None:
-        self._stopped = True
-        self._queue.put(None)
+        with self._submit_lock:
+            if self._stopped:
+                return
+            self._stopped = True
+            self._queue.put(None)
         self._thread.join(timeout=5.0)
-        # a submit() that raced the stop flag may have enqueued after the
-        # sentinel; fail those waiters instead of leaving them blocked
+        # items enqueued before the sentinel but unprocessed (the worker
+        # returns when it sees None mid-collection): fail those waiters
+        # instead of leaving them blocked. The lock above guarantees no new
+        # item can land after this drain.
         while True:
             try:
                 item = self._queue.get_nowait()
@@ -169,6 +203,9 @@ class VAEServer:
         host: str = "127.0.0.1",
         port: int = 8400,
         use_mesh: Optional[bool] = None,
+        max_queue: int = 64,
+        max_body_bytes: int = 32 << 20,
+        read_timeout_s: float = 30.0,
     ):
         import jax
 
@@ -176,6 +213,17 @@ class VAEServer:
 
         self.wrapper = wrapper
         self.resolution = int(resolution)
+        self.max_body_bytes = int(max_body_bytes)
+        self.read_timeout_s = float(read_timeout_s)
+        # the one latent shape /decode compiles for: rejecting everything
+        # else keeps the 'one XLA program per endpoint' contract (a novel
+        # shape would otherwise stall the worker on a fresh ~30s compile)
+        cfg = wrapper.config
+        down = 2 ** (len(cfg.block_out_channels) - 1)
+        self.latent_shape = (
+            self.resolution // down, self.resolution // down,
+            int(cfg.latent_channels),
+        )
         self.transform = get_transform(self.resolution)
         self.platform = jax.devices()[0].platform
         self._jax = jax
@@ -199,7 +247,9 @@ class VAEServer:
         self.errors = 0
         self._latencies: List[float] = []
         self._lock = threading.Lock()
-        self.batcher = MicroBatcher(self._run, max_batch, max_wait_ms)
+        self.batcher = MicroBatcher(
+            self._run, max_batch, max_wait_ms, max_queue=max_queue
+        )
 
         class _Server(ThreadingHTTPServer):
             # the stdlib default accept backlog of 5 drops connections the
@@ -305,6 +355,8 @@ class VAEServer:
             "batching_ratio": round(
                 self.batcher.items_served / max(1, self.batcher.batch_calls), 3
             ),
+            "rejected_overload": self.batcher.rejected,
+            "max_queue": self.batcher.max_queue,
             "platform": self.platform,
             "resolution": self.resolution,
         }
@@ -315,6 +367,9 @@ class VAEServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # socketserver applies this as the connection socket timeout: a
+            # client that stalls mid-body cannot pin a handler thread forever
+            timeout = server.read_timeout_s
 
             def log_message(self, fmt, *args):  # route through logging
                 logger.debug("http: " + fmt, *args)
@@ -360,7 +415,29 @@ class VAEServer:
                 fmt = q.get("format", ["png"])[0].lower()
                 ok = False
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                    except (TypeError, ValueError):
+                        self._send_json(
+                            400, {"error": "invalid Content-Length"}
+                        )
+                        return
+                    if length < 0:
+                        self._send_json(
+                            400, {"error": "invalid Content-Length"}
+                        )
+                        return
+                    if length > server.max_body_bytes:
+                        # reject BEFORE reading: an oversized declaration
+                        # never commits the host to the allocation. Close
+                        # the connection — the unread body would otherwise
+                        # be parsed as the next keep-alive request.
+                        self.close_connection = True
+                        self._send_json(413, {
+                            "error": f"body {length} bytes exceeds limit "
+                                     f"{server.max_body_bytes}"
+                        })
+                        return
                     body = self.rfile.read(length)
                     if op in ("reconstruct", "encode"):
                         # fast path for throughput clients: a .npy body
@@ -408,9 +485,15 @@ class VAEServer:
                         z = np.load(io.BytesIO(body))
                         if z.ndim == 4:
                             z = z[0]
-                        if z.ndim != 3:
+                        if tuple(z.shape) != server.latent_shape:
+                            # only the warmed-up latent shape is served —
+                            # any other shape would trigger a fresh XLA
+                            # compile inside the batcher worker, stalling
+                            # all in-flight requests
                             raise ValueError(
-                                f"latents must be HxWxC, got {z.shape}"
+                                f"latents must be {server.latent_shape} "
+                                f"(resolution {server.resolution}), "
+                                f"got {tuple(z.shape)}"
                             )
                         out = server.batcher.submit("decode", z)
                         self._send(200, _to_png(out), "image/png")
@@ -418,6 +501,13 @@ class VAEServer:
                         self._send_json(404, {"error": f"no route /{op}"})
                         return
                     ok = True
+                except BatcherOverloaded as e:
+                    self._send(
+                        503,
+                        json.dumps({"error": str(e)}).encode(),
+                        "application/json",
+                        {"Retry-After": "1"},
+                    )
                 except Exception as e:  # noqa: BLE001 — client gets the cause
                     logger.exception("request failed")
                     self._send_json(400, {
@@ -448,6 +538,12 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=10.0)
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="Max waiting requests before shedding with 503.")
+    p.add_argument("--max_body_mb", type=float, default=32.0,
+                   help="Request bodies above this get HTTP 413.")
+    p.add_argument("--read_timeout_s", type=float, default=30.0,
+                   help="Socket read timeout per connection.")
     p.add_argument("--no_warmup", action="store_true",
                    help="Skip compiling the endpoints before accepting traffic.")
     return p.parse_args(argv)
@@ -475,6 +571,9 @@ def main(argv=None) -> int:
         max_wait_ms=args.max_wait_ms,
         host=args.host,
         port=args.port,
+        max_queue=args.max_queue,
+        max_body_bytes=int(args.max_body_mb * (1 << 20)),
+        read_timeout_s=args.read_timeout_s,
     )
     import signal
 
