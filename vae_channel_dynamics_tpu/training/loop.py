@@ -867,10 +867,14 @@ class Trainer:
                 pd.DataFrame(records).to_csv(activity_csv, index=False)
                 logger.info("Saved activation stats to %s", activity_csv)
                 summary["activity_csv"] = activity_csv
+                # reference artifact contract (src/train.py:427-432):
+                # sanitized "{run_name}_activations", type 'dataset'
+                art_name = "".join(
+                    c if c.isalnum() or c in ("-", "_", ".") else "_"
+                    for c in f"{self.run_name}_activations"
+                )
                 reporter.log_artifact(
-                    activity_csv,
-                    f"{self.run_name}_tracked_activation_stats",
-                    artifact_type="tracking_data",
+                    activity_csv, art_name, artifact_type="dataset"
                 )
 
         if dead_tracker is not None:
