@@ -282,3 +282,60 @@ def test_bf16_forward_close():
         np.asarray(y, np.float32) - np.asarray(ref, np.float32)
     ).max()
     assert err < 0.1, err  # bf16 accumulation tolerance
+
+
+def test_block_fused_remat_conv_saves_fused_outputs():
+    """remat='conv' + impl='fused': the fused kernels' outputs must carry
+    the checkpoint_name('conv_out') tag so save_only_these_names keeps them
+    (without the tag, backward recomputes BOTH fused kernels — full-remat
+    cost, contradicting the documented selective-remat behavior)."""
+    import jax.ad_checkpoint
+    from vae_channel_dynamics_tpu.models.vae import _resnet_remat_cls
+
+    in_ch, out_ch = 128, 256
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, in_ch)), jnp.bfloat16)
+    cls = _resnet_remat_cls("conv")
+    blk = cls(
+        in_channels=in_ch, out_channels=out_ch, num_groups=GROUPS,
+        dtype=jnp.bfloat16, impl="fused", full_name="blk", capture=(),
+    )
+    variables = blk.init({"params": jax.random.PRNGKey(7)}, x)
+    assert blk._fused_ok(x) if hasattr(blk, "_fused_ok") else True
+
+    def f(v, x):
+        return jnp.sum(blk.apply(v, x).astype(jnp.float32))
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        jax.ad_checkpoint.print_saved_residuals(f, variables, x)
+    saved = buf.getvalue()
+    # the intermediate fused gn+silu+conv output (h, tagged 'conv_out' in
+    # _forward_fused) is saved for the backward pass — i.e. backward does
+    # NOT recompute the first fused kernel. (The block's final output is
+    # the remat boundary's output, never a residual; and the print shows
+    # the tagged value by its producing op + source line, so we match on
+    # the producing frame and shape.)
+    assert "ResnetBlock2D._forward_fused" in saved, saved
+    assert "bf16[2,8,16,256]" in saved, saved
+
+    # and gradients still match the unrematted fused block exactly
+    from vae_channel_dynamics_tpu.models.vae import ResnetBlock2D
+
+    plain = ResnetBlock2D(
+        in_channels=in_ch, out_channels=out_ch, num_groups=GROUPS,
+        dtype=jnp.bfloat16, impl="fused", full_name="blk", capture=(),
+    )
+    g_remat = jax.grad(f)(variables, x)["params"]
+    g_plain = jax.grad(
+        lambda v, x: jnp.sum(plain.apply(v, x).astype(jnp.float32))
+    )(variables, x)["params"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        ),
+        g_remat, g_plain,
+    )

@@ -134,3 +134,28 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     assert ckpt is not None
     # the preemption checkpoint is restorable
     assert os.path.isdir(os.path.join(ckpt, "state"))
+
+
+def test_async_save_prunes_after_checkpoint_lands(tmp_path):
+    """Pruning runs inside the writer AFTER the save completes, so
+    keep_last_n is honored exactly once the saver drains (previously the
+    prune listed the dir before the new checkpoint existed and lagged one
+    save behind)."""
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.training.checkpoint import (
+        AsyncSaver,
+        prune_checkpoints,
+    )
+
+    saver = AsyncSaver()
+    state = {"a": jnp.arange(4.0)}
+    for step in (1, 2, 3):
+        saver.save(
+            str(tmp_path / f"chkpt-{step}"),
+            state,
+            on_complete=lambda: prune_checkpoints(str(tmp_path), "chkpt", 2),
+        )
+    saver.wait()
+    names = sorted(n for n in os.listdir(tmp_path) if n.startswith("chkpt-"))
+    assert names == ["chkpt-2", "chkpt-3"], names

@@ -503,6 +503,10 @@ class ResnetBlock2D(TapModule):
             x, g1, gb1, k1, kb1,
             num_groups=self.num_groups, eps=self.eps, emit_tap=emit1,
         )
+        # tag like VConv does so remat='conv' saves the fused op's outputs
+        # (without the tag, save_only_these_names would save nothing inside
+        # the block and backward would recompute BOTH fused kernels)
+        h = checkpoint_name(h, "conv_out")
         if tap1 is not None:
             self.sow_stat(
                 f"{self.full_name}.norm1.output."
@@ -524,6 +528,7 @@ class ResnetBlock2D(TapModule):
             num_groups=self.num_groups, eps=self.eps,
             residual=residual.astype(self.dtype), emit_tap=emit2,
         )
+        y = checkpoint_name(y, "conv_out")
         if tap2 is not None:
             self.sow_stat(
                 f"{self.full_name}.norm2.output."

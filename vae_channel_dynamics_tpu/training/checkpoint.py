@@ -42,7 +42,11 @@ class AsyncSaver:
         self._thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
 
-    def save(self, path: str, state: Any) -> None:
+    def save(self, path: str, state: Any, on_complete=None) -> None:
+        """``on_complete`` (e.g. checkpoint pruning) runs in the writer
+        thread AFTER the checkpoint lands — pruning from the dispatching
+        thread would list the directory before the new checkpoint exists
+        and lag one save behind."""
         self.wait()
         snapshot = jax.tree.map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state
@@ -51,6 +55,8 @@ class AsyncSaver:
         def _write() -> None:
             try:
                 save_train_state(path, snapshot)
+                if on_complete is not None:
+                    on_complete()
             except BaseException as e:  # noqa: BLE001 — surfaced on wait()
                 self._error = e
 

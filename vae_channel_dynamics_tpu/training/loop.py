@@ -667,14 +667,25 @@ class Trainer:
                     ckpt_path = os.path.join(
                         self.output_dir, f"{checkpoint_prefix}-{global_step}"
                     )
+                    keep_last_n = as_int(
+                        self.saving_config.get("keep_last_n"), 0
+                    )
+
+                    def _prune(
+                        out=self.output_dir, pfx=checkpoint_prefix,
+                        n=keep_last_n,
+                    ):
+                        prune_checkpoints(out, pfx, n)
+
                     if ckpt_saver is not None:
-                        ckpt_saver.save(ckpt_path, state)
+                        # prune inside the writer AFTER the save lands;
+                        # pruning here would list the dir before the new
+                        # checkpoint exists (keep_last_n would transiently
+                        # hold n+1 and lag one save behind)
+                        ckpt_saver.save(ckpt_path, state, on_complete=_prune)
                     else:
                         save_train_state(ckpt_path, state)
-                    prune_checkpoints(
-                        self.output_dir, checkpoint_prefix,
-                        as_int(self.saving_config.get("keep_last_n"), 0),
-                    )
+                        _prune()
 
                 # --- preemption-safe exit (no reference equivalent) ---
                 # Multi-host runs must agree on stopping (the step is a

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Any, Dict
+from typing import Any, Dict, Set
 
 import yaml
 
@@ -93,7 +93,7 @@ def as_int(value: Any, default: int) -> int:
 # swallows typos like `trasfer_dtype`. warn_unknown_keys logs a warning per
 # unrecognized key without changing any behavior.
 # --------------------------------------------------------------------------- #
-_KNOWN_KEYS: Dict[str, Any] = {
+_KNOWN_KEYS: Set[str] = {
     # top level
     "project_name", "run_name", "output_dir", "seed", "threshold",
     "mean_percentage", "dead_type", "defaults", "notes", "description",
