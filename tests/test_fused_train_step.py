@@ -50,13 +50,12 @@ TRACKING = {
 }
 
 
-def _run_step(impl: str):
+def _run_step(impl: str, mesh=None, batch: int = 2):
     monitor = ActivityMonitor(dict(TRACKING))
     module = AutoencoderKL(
         config=CFG, dtype=jnp.bfloat16, impl=impl,
         capture=monitor.scalar_capture_table,
     )
-    batch = 2
     resolution = 16
     sample = jnp.zeros((1, resolution, resolution, 3))
     params = module.init(
@@ -70,7 +69,8 @@ def _run_step(impl: str):
     )
     state = TrainState.create(params, tx, stats_acc=stats_acc)
     step = make_train_step(
-        module, tx, 1e-6, stats_accumulate=ActivityMonitor.accumulate
+        module, tx, 1e-6, mesh=mesh,
+        stats_accumulate=ActivityMonitor.accumulate,
     )
     data = {
         "pixel_values": jnp.asarray(
@@ -111,3 +111,56 @@ def test_fused_train_step_matches_xla():
             pf / scale, px / scale, rtol=0, atol=5e-2,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_train_step_under_data_mesh_matches_single_device():
+    """kernel_impl='fused' under an 8-device data mesh (VERDICT round-2
+    item 4): with the shard mesh installed the fused kernels run per-shard
+    via shard_map on each device's local batch block, and one full train
+    step — loss, accumulated tap stats, parameter updates — must match the
+    single-device fused step. Everything in the kernel is per-sample (GN
+    normalizes within each sample), so only reduction order can differ."""
+    from vae_channel_dynamics_tpu.ops import pallas_resnet
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    batch = 8
+    loss_s, acc_s, params_s = _run_step("fused", batch=batch)
+    mesh = make_mesh(8)
+    pallas_resnet.set_shard_mesh(mesh)
+    try:
+        loss_m, acc_m, params_m = _run_step("fused", mesh=mesh, batch=batch)
+    finally:
+        pallas_resnet.set_shard_mesh(None)
+
+    assert abs(loss_m - loss_s) / max(abs(loss_s), 1e-6) < 1e-4
+
+    assert sorted(acc_s) == sorted(acc_m)
+    for key in acc_s:
+        # sub-bf16-ulp: sharding changes XLA fusion layouts around the
+        # kernels, so bf16 rounding differs in the last place
+        np.testing.assert_allclose(
+            np.asarray(acc_m[key]), np.asarray(acc_s[key]),
+            rtol=2e-3, atol=1e-5, err_msg=key,
+        )
+
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(params_s))
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(params_m))
+    for path, ps in flat_s.items():
+        pm = np.asarray(flat_m[path], np.float32)
+        ps = np.asarray(ps, np.float32)
+        scale = max(np.abs(ps).max(), 1e-6)
+        np.testing.assert_allclose(
+            pm / scale, ps / scale, rtol=0, atol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_spatial_mesh_not_supported_for_fused():
+    """mesh_supported: data-only meshes qualify; any non-trivial spatial
+    axis does not (conv halo exchange is not implemented in the kernel)."""
+    from vae_channel_dynamics_tpu.ops import pallas_resnet
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    assert pallas_resnet.mesh_supported(make_mesh(8))
+    assert not pallas_resnet.mesh_supported(make_mesh(8, spatial=2))
+    assert pallas_resnet.mesh_supported(make_mesh(8, spatial=1))

@@ -68,6 +68,59 @@ from .pallas_group_norm import (
 )
 
 
+# ---------------------------------------------------------------------- #
+# Mesh support: GSPMD cannot partition the fused custom calls, but the
+# batch axis is embarrassingly parallel — installing the mesh here makes
+# gn_silu_conv3x3 wrap itself in shard_map so each device runs the kernel
+# on its LOCAL batch block (params replicated, batch-leading outputs
+# sharded). Spatially-sharded meshes stay unsupported: a sharded H axis
+# would need conv halo exchange the kernel does not implement.
+# ---------------------------------------------------------------------- #
+_SHARD_MESH: Optional[jax.sharding.Mesh] = None
+
+
+def set_shard_mesh(mesh: Optional[jax.sharding.Mesh]) -> None:
+    """Install (or clear, with None) the mesh for per-shard fused kernels.
+    Call before tracing; traced programs bake the decision in."""
+    global _SHARD_MESH
+    _SHARD_MESH = mesh
+
+
+def mesh_supported(mesh) -> bool:
+    """True when every non-trivial mesh axis is the data axis."""
+    return mesh is not None and all(
+        name == "data" or size == 1 for name, size in dict(mesh.shape).items()
+    )
+
+
+def _shard_wrap(local, mesh, x, gamma, beta, w3, bias, residual):
+    """Run ``local`` per-shard over the mesh's data axis: batch-leading
+    tensors sharded, parameters replicated. Every differentiable value is
+    an explicit argument (closed-over tracers and shard_map autodiff don't
+    mix). All outputs (y, per-sample taps, per-sample moments) are
+    batch-leading, so one sharded out_spec prefix covers the whole tree."""
+    from jax.sharding import PartitionSpec as P
+
+    batched, repl = P("data"), P()
+    if residual is None:
+        fn = jax.shard_map(
+            lambda xs, g, b, w, bi: local(xs, g, b, w, bi, None),
+            mesh=mesh,
+            in_specs=(batched, repl, repl, repl, repl),
+            out_specs=batched,
+            check_vma=False,
+        )
+        return fn(x, gamma, beta, w3, bias)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(batched, repl, repl, repl, repl, batched),
+        out_specs=batched,
+        check_vma=False,
+    )
+    return fn(x, gamma, beta, w3, bias, residual)
+
+
 def eligible(x: jax.Array, cout: int, num_groups: int) -> bool:
     """Fused path needs lane-aligned channels and tileable spatial dims."""
     if x.ndim != 4:
@@ -594,18 +647,40 @@ def gn_silu_conv3x3(
     """
     cin, cout = kernel.shape[2], kernel.shape[3]
     w3 = kernel.astype(x.dtype).reshape(3, 3 * cin, cout)
-    y, tap, moments = _gn_silu_conv(
-        x,
-        gamma.astype(jnp.float32),
-        beta.astype(jnp.float32),
-        w3,
-        bias.astype(jnp.float32),
-        residual,
-        num_groups,
-        float(eps),
-        emit_tap,
-        emit_moments,
-    )
+
+    def _local(xs, g, b, w, bi, res):
+        return _gn_silu_conv(
+            xs, g, b, w, bi, res,
+            num_groups, float(eps), emit_tap, emit_moments,
+        )
+
+    mesh = _SHARD_MESH
+    ndata = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+    if (
+        mesh is not None
+        and mesh_supported(mesh)
+        and ndata > 1
+        and x.shape[0] % ndata == 0
+    ):
+        # per-shard execution on the local batch block (see set_shard_mesh)
+        y, tap, moments = _shard_wrap(
+            _local, mesh,
+            x,
+            gamma.astype(jnp.float32),
+            beta.astype(jnp.float32),
+            w3,
+            bias.astype(jnp.float32),
+            residual,
+        )
+    else:
+        y, tap, moments = _local(
+            x,
+            gamma.astype(jnp.float32),
+            beta.astype(jnp.float32),
+            w3,
+            bias.astype(jnp.float32),
+            residual,
+        )
     if tap is not None:
         tap = jax.lax.stop_gradient(tap)
     if moments is not None:

@@ -166,15 +166,27 @@ class Trainer:
             dtype = jnp.float32
         wrapper = resolve_model(config.get("model", {}), dtype)
         if wrapper.impl == "fused" and mesh.size > 1:
-            # GSPMD cannot partition the fused Pallas custom calls across a
-            # sharded batch/spatial axis — it would insert full gathers.
-            # Fused kernels are a single-device optimization today.
-            logger.warning(
-                "model.kernel_impl='fused' is single-device only; the mesh "
-                "has %d devices — falling back to kernel_impl='auto'.",
-                mesh.size,
-            )
-            wrapper.impl = "auto"
+            from ..ops import pallas_resnet
+
+            if pallas_resnet.mesh_supported(mesh):
+                # the batch axis is embarrassingly parallel: install the
+                # mesh so the fused kernels run per-shard via shard_map on
+                # each device's local batch block (params replicated)
+                pallas_resnet.set_shard_mesh(mesh)
+                logger.info(
+                    "model.kernel_impl='fused' on a %d-device data mesh: "
+                    "kernels run per-shard via shard_map.", mesh.size,
+                )
+            else:
+                # a sharded H axis would need conv halo exchange the fused
+                # kernel does not implement — only the spatial mesh falls
+                # back now
+                logger.warning(
+                    "model.kernel_impl='fused' does not support "
+                    "spatially-sharded meshes (%s) — falling back to "
+                    "kernel_impl='auto'.", dict(mesh.shape),
+                )
+                wrapper.impl = "auto"
         vae_config = wrapper.config
         params = wrapper.params
 
