@@ -81,3 +81,113 @@ def test_two_process_spmd_train_step(tmp_path):
         losses.append(float(lines[-1].split()[1]))
     # both processes observe the identical global loss
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+
+_FAILURE_WORKER = textwrap.dedent(
+    """
+    import os, sys, time
+    proc_id = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    from vae_channel_dynamics_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    jax.distributed.initialize(f"localhost:{{port}}", num_processes=2,
+                               process_id=proc_id)
+    import numpy as np, jax.numpy as jnp
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+    from vae_channel_dynamics_tpu.parallel.mesh import (
+        batch_sharding, vector_sharding, make_global_array,
+        replicated_sharding,
+    )
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState, build_optimizer, make_train_step,
+    )
+    mesh = make_mesh()
+    module = AutoencoderKL(config=VAEConfig.tiny())
+    params = module.init(
+        {{"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}},
+        jnp.zeros((1, 16, 16, 3)), sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, 0, 100)
+    state = jax.device_put(TrainState.create(params, tx),
+                           replicated_sharding(mesh))
+    step = make_train_step(module, tx, 1e-6, mesh=mesh, donate=False)
+    rng = np.random.default_rng(proc_id)
+    for k in range(50):
+        local = rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+        batch = {{"pixel_values": make_global_array(local,
+                                                    batch_sharding(mesh))}}
+        mask = make_global_array(np.ones(4, np.float32),
+                                 vector_sharding(mesh))
+        state, metrics, _ = step(state, batch, mask, jax.random.PRNGKey(3))
+        loss = float(jax.device_get(metrics["train_loss_step"]))
+        print(f"STEP {{k}} {{loss:.6f}}", flush=True)
+        if proc_id == 1 and k == 2:
+            # simulated hard failure: no shutdown handshake, no cleanup —
+            # the ugliest case (SIGKILL-equivalent)
+            os._exit(17)
+    print("DONE", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_survivor_exits_nonzero_after_peer_death(tmp_path):
+    """Multi-host failure detection (VERDICT round-2 item 7): one of two
+    SPMD processes dies abruptly mid-run (os._exit inside the step loop —
+    no shutdown handshake). The survivor, blocked on the next collective,
+    must exit NONZERO within a bounded time rather than hang indefinitely.
+
+    Observed behavior (documented per the VERDICT ask): the survivor's
+    next cross-process collective fails when the peer's connection drops
+    and/or the coordination service declares the task dead on missed
+    heartbeats; JAX surfaces this as a runtime error that unwinds the step
+    loop, so the process dies with a traceback (nonzero exit) — there is
+    no silent hang and no zero-exit false success.
+    """
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "failure_worker.py"
+    script.write_text(_FAILURE_WORKER.format(repo=repo))
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    # proc 1 self-destructs after step 2
+    out1, _ = procs[1].communicate(timeout=300)
+    assert procs[1].returncode == 17, out1[-2000:]
+    t_death = time.monotonic()
+
+    # the survivor must exit nonzero within the bound — not hang
+    bound_s = 240
+    try:
+        out0, _ = procs[0].communicate(timeout=bound_s)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        out0, _ = procs[0].communicate()
+        raise AssertionError(
+            f"survivor still hung {bound_s}s after peer death "
+            f"(indefinite collective hang):\n{out0[-3000:]}"
+        )
+    detect_s = time.monotonic() - t_death
+    assert procs[0].returncode != 0, (
+        f"survivor exited ZERO after peer death (silent false success):\n"
+        f"{out0[-3000:]}"
+    )
+    # it made progress before the failure, then died on a later step
+    assert "STEP 2" in out0, out0[-3000:]
+    assert "DONE" not in out0, out0[-3000:]
+    print(f"survivor exited rc={procs[0].returncode} {detect_s:.1f}s "
+          f"after peer death")
