@@ -4,6 +4,8 @@ The assertions mirror the reference's executable __main__ self-tests
 (deadneuron.py:118-204 exact percentages, nudger.py:175-305 nudge math,
 monitor.py:277-360 wandb keys + CSV records)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -396,3 +398,68 @@ def test_max_map_history_evicts_to_summaries():
                 np.testing.assert_allclose(a[k], b[k], rtol=1e-6)
             else:
                 assert a[k] == b[k], (k, a, b)
+
+
+def test_map_history_bound_keeps_host_rss_flat():
+    """Soak-scale memory proof (VERDICT round-2 item 8): feeding the
+    monitor 150 intervals of 2 MB full activation maps, host RSS stays
+    flat with tracking.max_map_history set, while the keep-all default
+    (reference parity) grows by roughly intervals x map size. This is the
+    mechanism configs/soak_cpu.yaml enables for long map-tracking runs."""
+    import gc
+
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.tracking.monitor import ActivityMonitor
+
+    page = os.sysconf("SC_PAGE_SIZE")
+
+    def rss_mb():
+        gc.collect()
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * page / 1e6
+
+    def build(max_hist):
+        return ActivityMonitor(
+            {
+                "enabled": True,
+                "track_interval": 1,
+                "max_map_history": max_hist,
+                "target_layers": [
+                    {
+                        "name": "vae.encoder.conv_in",
+                        "capture_point": "output",
+                        "metrics": ["full_activation_map"],
+                    }
+                ],
+            }
+        )
+
+    n_intervals = 150
+    shape = (8, 64, 64, 16)  # 2 MB fp32 per interval
+    map_mb = np.prod(shape) * 4 / 1e6
+
+    def soak(monitor):
+        rng = np.random.default_rng(1)
+        start = rss_mb()
+        for step in range(1, n_intervals + 1):
+            arr = rng.uniform(-1, 1, shape).astype(np.float32)
+            monitor.step(
+                step, {}, jnp.asarray(0.0),
+                {"encoder.conv_in.output.full_activation_map":
+                    jnp.asarray(arr)},
+            )
+        return rss_mb() - start
+
+    bounded_growth = soak(build(3))
+    unbounded_growth = soak(build(0))
+
+    # keep-all grows ~ n_intervals * map_mb (allow half for allocator slack)
+    assert unbounded_growth > 0.5 * n_intervals * map_mb, (
+        bounded_growth, unbounded_growth,
+    )
+    # the bound caps growth to a few maps' worth regardless of run length
+    assert bounded_growth < 15 * map_mb, (
+        f"bounded soak grew {bounded_growth:.0f} MB "
+        f"(unbounded control: {unbounded_growth:.0f} MB)"
+    )
