@@ -226,6 +226,163 @@ def mesh_bench() -> int:
             file=sys.stderr,
         )
 
+    # ---------------------------------------------------------------- #
+    # Spatial (H) weak scaling — the 1024px scale-out axis (SURVEY §2b).
+    # Fixed per-device row slab; the IMAGE grows with the mesh (tiny
+    # channels so one CPU core can run it). Ideal weak scaling keeps
+    # per-row cost flat; H-sharded 3x3 convs add halo exchanges, measured
+    # directly below by running the SAME global shape unsharded.
+    # ---------------------------------------------------------------- #
+    slab, width, sbatch = 16, 128, 2
+    spatial_times = {}
+    max_dev = len(jax.devices())
+    # attention is O((H*W)^2): growing H quadratically inflates the mid
+    # block, so no weak-scaling-along-H curve can be flat with it included.
+    # The spatial axis exists for the conv path (halo exchange is the cost
+    # being measured); attention's scaling is a separate, resolution-fixed
+    # term on the real model (16K positions at 1024px).
+    s_cfg = VAEConfig(
+        block_out_channels=cfg.block_out_channels,
+        layers_per_block=cfg.layers_per_block,
+        norm_num_groups=cfg.norm_num_groups,
+        sample_size=cfg.sample_size,
+        mid_block_attention=False,
+    )
+    s_module = AutoencoderKL(config=s_cfg, dtype=jnp.bfloat16)
+    s_params_host = jax.device_get(
+        s_module.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            sample,
+            sample_posterior=False,
+        )["params"]
+    )
+
+    def _spatial_step(mesh, height):
+        tx, _ = build_optimizer(1e-5, warmup_steps=10, max_train_steps=10_000)
+        state = TrainState.create(
+            jax.device_put(s_params_host), tx, stats_acc={}
+        )
+        state = jax.device_put(state, replicated_sharding(mesh))
+        step = make_train_step(s_module, tx, 1e-6, mesh=mesh, donate=False)
+        data = (
+            np.random.default_rng(0)
+            .uniform(-1, 1, (sbatch, height, width, 3))
+            .astype(np.float32)
+        )
+        mask = np.ones(sbatch, np.float32)
+        return step, state, {"pixel_values": data}, mask
+
+    def _spatial_step_time(mesh, height):
+        step, state, batch, mask = _spatial_step(mesh, height)
+        dt, _ = time_steps(step, state, batch, mask, rng, warmup=2, iters=4)
+        return dt
+
+    for n in (1, 2, 4, 8):
+        if n > max_dev:
+            break
+        mesh = make_mesh(n, spatial=n) if n > 1 else make_mesh(1)
+        spatial_times[n] = _spatial_step_time(mesh, slab * n)
+        print(
+            f"# spatial={n}: {spatial_times[n]*1e3:.1f} ms/step "
+            f"({slab*n}x{width}px, batch {sbatch}), "
+            f"{spatial_times[n]*1e3/(slab*n):.2f} ms/row-batch",
+            file=sys.stderr,
+        )
+    spatial_eff = {
+        n: round(spatial_times[1] * n / t, 4) for n, t in spatial_times.items()
+    }
+    # halo overhead: the same global shape, H-sharded vs unsharded, on the
+    # same single physical core — the extra time is the halo exchange +
+    # partitioning overhead of the sharded program. CAVEAT (measured): on
+    # the CPU mesh this number is dominated by thread-synchronized
+    # collective dispatch (hundreds of collective-permutes share ONE
+    # physical core), so it wildly overstates what ICI halo exchange costs
+    # on real chips; the structural HLO evidence + analytic projection
+    # below are the transferable part.
+    halo_overhead_pct = None
+    spatial_structure = None
+    if 8 in spatial_times:
+        t_unsharded = _spatial_step_time(make_mesh(1), slab * 8)
+        halo_overhead_pct = round(
+            (spatial_times[8] / t_unsharded - 1.0) * 100.0, 2
+        )
+        print(
+            f"# halo overhead @{slab*8}x{width}px: sharded "
+            f"{spatial_times[8]*1e3:.1f} ms vs unsharded "
+            f"{t_unsharded*1e3:.1f} ms -> {halo_overhead_pct:+.1f}% "
+            "(CPU thread-sync dominated; see structural evidence)",
+            file=sys.stderr,
+        )
+        # structural proof the program really H-shards: per-shard conv row
+        # counts and halo collective-permutes in the compiled HLO
+        import re as _re
+
+        step, state, batch, mask = _spatial_step(make_mesh(8, spatial=8),
+                                                 slab * 8)
+        hlo = step.lower(state, batch, mask, rng).compile().as_text()
+        conv_heights = [
+            int(m.group(1))
+            for m in _re.finditer(
+                r"convolution = f32\[\d+,(\d+),\d+,\d+\]", hlo
+            )
+        ]
+        spatial_structure = {
+            "global_rows": slab * 8,
+            "max_conv_rows_per_shard": max(conv_heights, default=0),
+            "halo_collective_permutes": hlo.count("collective-permute"),
+            "all_gathers": hlo.count("all-gather"),
+        }
+        print(f"# spatial HLO structure: {spatial_structure}",
+              file=sys.stderr)
+
+    # v5e-8 projection @1024px with 8-way H sharding: compute scales 16x
+    # from the measured 256px cost model; halo bytes counted per 3x3 conv
+    # from the SDXL topology (1 row each side, bf16), 3 exchanges per conv
+    # per step (fwd + both bwd halos), at 100 GB/s effective ICI.
+    def _sdxl_halo_bytes_per_image(res=1024):
+        boc = (128, 256, 512, 512)
+        convs = []  # (rows_resolution, width, channels)
+        r = res
+        convs.append((r, r, 128))  # encoder conv_in
+        for i, c in enumerate(boc):
+            for _ in range(2):  # resnets: conv1 + conv2
+                convs.append((r, r, c))
+                convs.append((r, r, c))
+            if i < len(boc) - 1:
+                convs.append((r, r, c))  # downsampler
+                r //= 2
+        convs.append((r, r, boc[-1]))  # encoder conv_out (+mid convs)
+        for _ in range(4):  # mid blocks enc+dec: 2 resnets x 2 convs @ r
+            convs.append((r, r, 512))
+        rboc = tuple(reversed(boc))
+        for i, c in enumerate(rboc):
+            for _ in range(3):  # 3 resnets per up block
+                convs.append((r, r, c))
+                convs.append((r, r, c))
+            if i < len(rboc) - 1:
+                convs.append((r, r, c))  # upsampler conv
+                r *= 2
+        convs.append((r, r, 128))  # decoder conv_out
+        return sum(2 * w * c * 2 for (_h, w, c) in convs)  # 2 sides, bf16
+
+    halo_bytes = _sdxl_halo_bytes_per_image(1024) * 3  # fwd + 2 bwd
+    flop_per_image_1024 = 2.66e12 * 16  # measured 256px cost model x16
+    t_compute_8chip = flop_per_image_1024 / 197e12 / 8
+    t_halo = halo_bytes / 1e11
+    projected_1024_ips = 1.0 / (t_compute_8chip + t_halo)
+    spatial_projection = {
+        "projected_v5e8_1024px_images_per_sec": round(projected_1024_ips, 2),
+        "projected_halo_fraction": round(
+            t_halo / (t_compute_8chip + t_halo), 4
+        ),
+        "assumptions": (
+            f"2.66 TFLOP/image@256px x16 at 197 TF/s over 8 H-shards; "
+            f"{halo_bytes/1e6:.1f} MB halo traffic/image (1 bf16 row each "
+            "side per 3x3 conv, 3 exchanges per conv per train step) at "
+            "100 GB/s effective ICI, not overlapped"
+        ),
+    }
+
     # v5e-8 projection: measured single-chip throughput + ring all-reduce of
     # the fp32 gradients over ICI, conservatively NOT overlapped with compute.
     # 83.65M params * 4 B = 334.6 MB; effective per-chip all-reduce bandwidth
@@ -249,6 +406,12 @@ def mesh_bench() -> int:
         "vs_baseline": efficiency.get(8, 0.0),
         "step_ms_by_mesh": {n: round(t * 1e3, 2) for n, t in times.items()},
         "per_image_cost_ratio": efficiency,
+        "spatial_step_ms_by_mesh": {
+            n: round(t * 1e3, 2) for n, t in spatial_times.items()
+        },
+        "spatial_weak_scaling_efficiency": spatial_eff,
+        "spatial_halo_overhead_pct": halo_overhead_pct,
+        "spatial_1024px_projection": spatial_projection,
         "projected_v5e8_images_per_sec": round(projected_ips, 1),
         "projected_v5e8_parallel_efficiency": round(
             projected_ips / (single_chip_ips * n_chips), 4
