@@ -436,7 +436,11 @@ def main() -> int:
     cfg = VAEConfig.sdxl() if on_tpu else VAEConfig.tiny()
     candidate_batches = (
         [int(b) for b in os.environ.get("BENCH_BATCHES", "").split(",") if b]
-        or ([24] if on_tpu else [8])  # 24 measured best on v5e @256px
+        # Batch-x-remat sweep (experiments/batch_sweep.py, v5e @256px): step
+        # time is quantized in plateaus by conv batch tiling — b12≈b16≈252 ms,
+        # b20≈b24≈390 ms — so b16 tops its plateau and wins (62.7 img/s clean
+        # vs 57.9 at b24); b64 OOMs, remat=conv doesn't change the ranking.
+        or ([16] if on_tpu else [8])
     )
     # Measured on v5e: activations fit HBM without remat up to batch 16 at
     # 256px, and skipping the recompute is worth ~14% (51.6 vs 45.3 img/s).

@@ -182,3 +182,39 @@ def test_doctor_cli(monkeypatch):
     rc = doctor.main(["--no-device"])
     assert rc == 0
     assert "FAIL" not in doctor._RESULTS
+
+
+def test_serving_bench_tool_against_live_server():
+    """tools/serving_bench drives a live daemon end to end: ok req/s,
+    percentiles, and /stats deltas, with 503s retried after Retry-After."""
+    import json as _json
+    import subprocess
+    import sys
+    import threading
+
+    from vae_channel_dynamics_tpu.models import SDXLVAEWrapper, VAEConfig
+    from vae_channel_dynamics_tpu.server import VAEServer
+
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    srv = VAEServer(wrapper, resolution=32, max_batch=4, max_wait_ms=5.0,
+                    port=0, max_queue=4)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m",
+             "vae_channel_dynamics_tpu.tools.serving_bench",
+             "--url", f"http://127.0.0.1:{srv.port}",
+             "--streams", "8", "--duration_s", "4", "--resolution", "32"],
+            capture_output=True, text=True, timeout=300,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        assert lines, proc.stdout + proc.stderr
+        result = _json.loads(lines[-1])
+        assert result["ok"] > 0
+        assert result["errors"] == 0, result
+        assert result["latency_ms_p50"] is not None
+        assert result["server_batch_calls"] > 0
+        assert proc.returncode == 0
+    finally:
+        srv.shutdown()
