@@ -367,3 +367,77 @@ def test_ema_math_unit():
             0.5 * np.asarray(e0) + 0.5 * np.asarray(p1),
             atol=1e-7,
         )
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """A run stopped mid-epoch and resumed from its checkpoint produces the
+    SAME loss trajectory and final params as an uninterrupted run: the data
+    stream fast-forwards to the checkpoint position (epoch + batch offset),
+    the LR schedule and step RNG are step-keyed, and optimizer state rides
+    the checkpoint. New capability over the reference (which writes
+    checkpoints it can never load, src/train.py:358-362)."""
+    from vae_channel_dynamics_tpu.training.checkpoint import latest_checkpoint
+    from vae_channel_dynamics_tpu.models import io as model_io
+
+    def make_cfg(name, stop_after=0):
+        return {
+            "run_name": name,
+            "output_dir": str(tmp_path),
+            "seed": 11,
+            "model": {"pretrained_vae_name": None, "architecture": "tiny"},
+            "data": {
+                "dataset_name": "synthetic://shapes?num_samples=32",
+                "resolution": 32,
+                # per-device batch 1 x 8 virtual devices = global batch 8:
+                # 4 steps/epoch over the 32 samples
+                "batch_size": 1,
+                "do_validation": False,
+            },
+            "training": {
+                "num_train_epochs": 2,
+                "learning_rate": 1e-4,
+                "kl_weight": 1e-6,
+                "lr_warmup_steps": 2,
+                "mixed_precision": "no",
+                # stop mid-epoch-1 (epochs are 4 steps each): proves both the
+                # epoch fast-forward and the in-epoch batch skip
+                "stop_after_steps": stop_after,
+            },
+            "logging": {"log_interval": 1, "report_to": "jsonl"},
+            "saving": {"save_interval_steps": 1000, "async_save": False},
+        }
+
+    def losses_of(name):
+        path = os.path.join(str(tmp_path), name, "metrics.jsonl")
+        out = {}
+        for line in open(path):
+            rec = json.loads(line)
+            if "train_loss_step" in rec:
+                out[rec["step"]] = rec["train_loss_step"]
+        return out
+
+    def final_params(summary):
+        _, params = model_io.load_model_dir(
+            os.path.join(summary["final_model_dir"], "vae")
+        )
+        return params
+
+    # uninterrupted oracle: 2 epochs x 4 steps
+    summary_a = Trainer(make_cfg("uninterrupted")).train()
+    params_a = final_params(summary_a)
+    losses_a = losses_of("uninterrupted")
+    assert set(losses_a) == set(range(1, 9))
+
+    # interrupted at step 6 (mid-epoch 1), then resumed to completion
+    Trainer(make_cfg("resumed", stop_after=6)).train()
+    run_dir = os.path.join(str(tmp_path), "resumed")
+    ckpt = latest_checkpoint(run_dir)
+    assert ckpt and ckpt.endswith("chkpt-6")
+    summary_b2 = Trainer(make_cfg("resumed"), resume_from=ckpt).train()
+    params_b = final_params(summary_b2)
+    losses_b = losses_of("resumed")
+
+    # steps 7-8 ran only after resume; they must match the oracle exactly
+    assert losses_b == losses_a
+    for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -406,6 +406,11 @@ class Trainer:
         # it, checkpointing at the next step boundary, and exiting cleanly
         # makes `--resume_from auto` pick the run back up losslessly.
         preempt_flag = {"hit": False}
+        # training.stop_after_steps (0 = off): deterministic early stop after
+        # N global steps, exiting through the same checkpoint-and-quit path
+        # as SIGTERM. For bounded-duration runs and for testing that a
+        # resumed run equals an uninterrupted one.
+        stop_after_steps = as_int(tc.get("stop_after_steps"), 0)
 
         def _on_term(signum, _frame):
             preempt_flag["hit"] = True
@@ -464,10 +469,16 @@ class Trainer:
                     10000,
                 )
 
-        def _prepared_batches(loader, cap="train"):
+        def _prepared_batches(loader, cap="train", skip=0):
             """Pad + shard-place batches ahead of consumption in a background
             thread, overlapping H2D transfer with device compute (the
-            pin_memory/prefetch analog of data_utils.py:218-225)."""
+            pin_memory/prefetch analog of data_utils.py:218-225).
+
+            ``skip`` consumes the first N valid batches without padding or
+            device transfer — the resume fast-forward: a resumed run re-enters
+            its epoch mid-stream and sees exactly the batches an uninterrupted
+            run would (the per-epoch shuffle is seeded by epoch number, so the
+            order is reproducible)."""
             batch_cap = batches_per_epoch_cap if cap == "train" else _uniform_cap(loader)
             pad_to = _pad_multiple(loader)
 
@@ -482,6 +493,8 @@ class Trainer:
                     if pixels.ndim != 4 or pixels.shape[0] == 0:
                         continue
                     emitted += 1
+                    if emitted <= skip:
+                        continue
                     padded, mask = pad_batch_to_multiple(
                         {"pixel_values": pixels}, pad_to
                     )
@@ -500,7 +513,31 @@ class Trainer:
 
         metric_keys = ("train_loss_step", "rec_loss", "kl_loss")
 
-        for epoch in range(num_train_epochs):
+        # Resume fast-forward: place the data stream where the checkpoint
+        # left off (the reference has no resume at all; restarting at epoch 0
+        # would replay early-epoch data and break run-equivalence). Exact for
+        # map-style datasets (per-epoch seeded shuffle); for streaming
+        # datasets this linearly consumes skipped records, same as any
+        # restarted stream. Micro-batches per epoch come from the loader's
+        # real length when it has one — `steps_per_epoch * accum` rounds up
+        # and would misplace the stream whenever accum doesn't divide the
+        # epoch's batch count.
+        try:
+            micro_per_epoch = len(train_loader)
+        except TypeError:
+            micro_per_epoch = steps_per_epoch * accum
+        if batches_per_epoch_cap is not None:
+            micro_per_epoch = min(micro_per_epoch, batches_per_epoch_cap)
+        micro_per_epoch = max(1, micro_per_epoch)
+        start_epoch = min(micro_step // micro_per_epoch, num_train_epochs)
+        resume_skip_batches = micro_step % micro_per_epoch
+        if micro_step > 0:
+            logger.info(
+                "Resume fast-forward: starting at epoch %d, skipping %d "
+                "already-consumed batches.", start_epoch, resume_skip_batches,
+            )
+
+        for epoch in range(start_epoch, num_train_epochs):
             # Epoch averages accumulate as host floats, drained from a small
             # on-device buffer at log intervals (the fetch there is already a
             # sync point) — long epochs must not retain thousands of device
@@ -523,7 +560,10 @@ class Trainer:
                 return host[-1]
 
             train_loader.set_epoch(epoch)
-            train_batches = _prepared_batches(train_loader)
+            train_batches = _prepared_batches(
+                train_loader,
+                skip=resume_skip_batches if epoch == start_epoch else 0,
+            )
             for padded, mask, n_valid in train_batches:
                 images_seen += n_valid
 
@@ -704,6 +744,8 @@ class Trainer:
                 # collective), so the flag is only consulted at log-interval
                 # boundaries there and OR-reduced across processes; a single
                 # host checks every step for the fastest reaction.
+                if stop_after_steps > 0 and global_step >= stop_after_steps:
+                    preempt_flag["hit"] = True
                 if process_count == 1 or global_step % log_interval == 0:
                     stop_now = preempt_flag["hit"]
                     if process_count > 1:
