@@ -197,6 +197,25 @@ def test_resolve_model_local_dir(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resolve_model_architecture_presets():
+    """Every named architecture preset resolves; unknown names fail loudly
+    instead of silently building the (335MB-param) sdxl default."""
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.models import VAEConfig
+    from vae_channel_dynamics_tpu.training.loop import resolve_model
+
+    w = resolve_model(
+        {"pretrained_vae_name": None, "architecture": "sd"}, jnp.float32
+    )
+    assert w.config == VAEConfig.sd()
+    assert w.config.scaling_factor == pytest.approx(0.18215)
+    with pytest.raises(ValueError, match="architecture"):
+        resolve_model(
+            {"pretrained_vae_name": None, "architecture": "vq"}, jnp.float32
+        )
+
+
 def test_train_cli_auto_resume_no_checkpoint(tmp_path, monkeypatch):
     """--resume_from auto with no checkpoints starts fresh instead of failing."""
     from vae_channel_dynamics_tpu import train as train_cli

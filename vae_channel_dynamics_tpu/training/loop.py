@@ -87,7 +87,14 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
         return SDXLVAEWrapper(
             config=cfg, params=params, dtype=dtype, impl=impl, remat=remat
         )
-    cfg = VAEConfig.tiny() if arch == "tiny" else VAEConfig.sdxl()
+    presets = {"sdxl": VAEConfig.sdxl, "sd": VAEConfig.sd, "tiny": VAEConfig.tiny}
+    if arch not in presets:
+        raise ValueError(
+            f"Unknown model.architecture {arch!r}; expected one of "
+            f"{sorted(presets)} (or point model.pretrained_vae_name at a "
+            "local model dir)."
+        )
+    cfg = presets[arch]()
     if name and not os.path.isdir(name):
         logger.warning(
             "Pretrained VAE '%s' is not a local directory and the HF Hub is "
