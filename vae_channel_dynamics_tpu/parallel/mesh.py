@@ -24,6 +24,7 @@ logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+SLICE_AXIS = "slice"
 
 
 def initialize_distributed() -> None:
@@ -46,6 +47,7 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_name: str = DATA_AXIS,
     spatial: int = 1,
+    slices: int = 1,
 ) -> Mesh:
     """Device mesh over the first ``n_devices`` devices.
 
@@ -53,7 +55,17 @@ def make_mesh(
     2-D (data, spatial) mesh: the batch axis shards over ``data`` and image
     rows (H) shard over ``spatial`` — GSPMD inserts the conv halo exchanges
     — which is the scale-out path for high-resolution (1024px) training
-    where activations exceed one chip's HBM."""
+    where activations exceed one chip's HBM.
+
+    ``slices>1`` adds a leading ``slice`` axis for multi-slice pods (several
+    ICI-connected slices joined by DCN): devices are grouped by their
+    ``slice_index`` when the runtime exposes one (real multi-slice TPU), or
+    contiguously otherwise (virtual meshes, single slice). The batch shards
+    over ``(slice, data)`` jointly (see ``batch_sharding``), so the slice
+    axis is OUTERMOST in the mesh layout and XLA's gradient all-reduce
+    decomposes hierarchically: reduce-scatter/all-gather over ICI within
+    each slice, and only the per-slice partial crosses DCN once — the
+    scaling-book recipe for collectives that ride ICI, not DCN."""
     devices = jax.devices()
     if n_devices is not None:
         if n_devices > len(devices):
@@ -61,6 +73,34 @@ def make_mesh(
                 f"Requested {n_devices} devices, have {len(devices)}"
             )
         devices = devices[:n_devices]
+    if slices > 1:
+        if len(devices) % slices != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by slices={slices}"
+            )
+        # Real multi-slice runtimes tag devices with slice_index; group by it
+        # so the mesh's slice axis matches the physical DCN boundary.
+        idx = {getattr(d, "slice_index", None) for d in devices}
+        if len(idx) > 1:
+            if len(idx) != slices:
+                raise ValueError(
+                    f"parallel.slices={slices} but the runtime reports "
+                    f"{len(idx)} distinct device slice_index values"
+                )
+            devices = sorted(
+                devices, key=lambda d: (d.slice_index, d.id)
+            )
+    if spatial > 1 and len(devices) % (spatial * slices) != 0:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by "
+            f"spatial={spatial} x slices={slices}"
+        )
+    if slices > 1:
+        if spatial <= 1:
+            grid = np.asarray(devices).reshape(slices, -1)
+            return Mesh(grid, (SLICE_AXIS, axis_name))
+        grid = np.asarray(devices).reshape(slices, -1, spatial)
+        return Mesh(grid, (SLICE_AXIS, axis_name, SPATIAL_AXIS))
     if spatial <= 1:
         return Mesh(np.asarray(devices), (axis_name,))
     if len(devices) % spatial != 0:
@@ -71,21 +111,35 @@ def make_mesh(
     return Mesh(grid, (axis_name, SPATIAL_AXIS))
 
 
+def _batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over: ``(slice, data)``
+    jointly on multi-slice meshes, ``data`` alone otherwise."""
+    if SLICE_AXIS in mesh.axis_names:
+        return (SLICE_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Image-batch sharding: batch over ``data``, plus H over ``spatial``
-    when the mesh has a spatial axis (NHWC dim 1)."""
+    """Image-batch sharding: batch over ``data`` (and ``slice`` when
+    present), plus H over ``spatial`` when the mesh has a spatial axis
+    (NHWC dim 1)."""
+    axes = _batch_axes(mesh)
     if SPATIAL_AXIS in mesh.axis_names:
-        return NamedSharding(mesh, P(axis_name, SPATIAL_AXIS))
-    return NamedSharding(mesh, P(axis_name))
+        return NamedSharding(mesh, P(axes, SPATIAL_AXIS))
+    return NamedSharding(mesh, P(axes))
 
 
 def vector_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """1-D per-sample vectors (masks, per-sample losses): batch over data."""
-    return NamedSharding(mesh, P(axis_name))
+    return NamedSharding(mesh, P(_batch_axes(mesh)))
 
 
 def data_axis_size(mesh: Mesh) -> int:
-    return int(mesh.shape[DATA_AXIS])
+    """Number of batch shards (slice x data on multi-slice meshes)."""
+    n = int(mesh.shape[DATA_AXIS])
+    if SLICE_AXIS in mesh.axis_names:
+        n *= int(mesh.shape[SLICE_AXIS])
+    return n
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
