@@ -85,10 +85,10 @@ def _tracking_config():
 
 
 def build_step(cfg, batch, resolution, capture_table, params, remat,
-               impl="auto"):
+               impl="auto", attn_impl="auto"):
     module = AutoencoderKL(
         config=cfg, dtype=jnp.bfloat16, capture=capture_table, remat=remat,
-        impl=impl,
+        impl=impl, attn_impl=attn_impl,
     )
     tx, _ = build_optimizer(1e-5, warmup_steps=10, max_train_steps=10_000)
     if capture_table:
@@ -135,9 +135,11 @@ def time_steps(step, state, batch_np, mask, rng, warmup=3, iters=10):
     return (t2 - t1) / iters, state
 
 
-def build_forward(cfg, params, impl="auto"):
+def build_forward(cfg, params, impl="auto", attn_impl="auto"):
     """Serving path: deterministic encode->decode (no grad, no optimizer)."""
-    module = AutoencoderKL(config=cfg, dtype=jnp.bfloat16, impl=impl)
+    module = AutoencoderKL(
+        config=cfg, dtype=jnp.bfloat16, impl=impl, attn_impl=attn_impl,
+    )
 
     @jax.jit
     def fwd(params, pixels):

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
+from ..ops.attention import chunked_attention, use_chunked
 from ..ops.group_norm import group_norm, silu
 from ..ops.stats import channel_stats
 from .distributions import DiagonalGaussianDistribution
@@ -541,13 +542,21 @@ class ResnetBlock2D(TapModule):
 class AttentionBlock(TapModule):
     """Single-head self-attention over spatial positions (diffusers
     Attention as used in the VAE mid block: group_norm -> q/k/v -> softmax
-    (fp32) -> out projection -> residual)."""
+    (fp32) -> out projection -> residual).
+
+    ``attn_impl`` selects the softmax materialization: ``naive`` builds the
+    full (tokens x tokens) logits matrix; ``chunked`` streams key chunks with
+    online softmax (ops/attention.py) — O(N*chunk) memory instead of O(N^2),
+    the 1024px enabler; ``auto`` (default) picks naive up to 4096 tokens
+    (<=512px mid block) and chunked above, leaving every measured <=512px
+    program unchanged."""
 
     channels: int = 0
     num_groups: int = 32
     eps: float = 1e-6
     dtype: Any = jnp.float32
     impl: str = "auto"
+    attn_impl: str = "auto"
     full_name: str = ""
     capture: CaptureTable = ()
 
@@ -573,15 +582,20 @@ class AttentionBlock(TapModule):
         q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
         scale = 1.0 / math.sqrt(c)
         prec = _precision_for(self.dtype)
-        logits = jnp.einsum(
-            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32,
-            precision=prec,
-        ) * scale
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        h = jnp.einsum(
-            "bqk,bkc->bqc", attn, v, preferred_element_type=self.dtype,
-            precision=prec,
-        )
+        if use_chunked(self.attn_impl, hh * ww):
+            h = chunked_attention(
+                q, k, v, scale=scale, out_dtype=self.dtype, precision=prec,
+            )
+        else:
+            logits = jnp.einsum(
+                "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32,
+                precision=prec,
+            ) * scale
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            h = jnp.einsum(
+                "bqk,bkc->bqc", attn, v, preferred_element_type=self.dtype,
+                precision=prec,
+            )
         h = self.to_out[0](h)
         return x + h.reshape(b, hh, ww, c)
 
@@ -751,6 +765,7 @@ class UNetMidBlock2D(TapModule):
     use_attention: bool = True
     dtype: Any = jnp.float32
     impl: str = "auto"
+    attn_impl: str = "auto"
     full_name: str = ""
     capture: CaptureTable = ()
 
@@ -774,6 +789,7 @@ class UNetMidBlock2D(TapModule):
             self.attentions = [
                 AttentionBlock(
                     channels=self.channels,
+                    attn_impl=self.attn_impl,
                     full_name=f"{fn}.attentions.0",
                     **common,
                 )
@@ -791,6 +807,7 @@ class Encoder(TapModule):
     config: VAEConfig = VAEConfig()
     dtype: Any = jnp.float32
     impl: str = "auto"
+    attn_impl: str = "auto"
     remat: Any = False
     full_name: str = "encoder"
     capture: CaptureTable = ()
@@ -830,6 +847,7 @@ class Encoder(TapModule):
             use_attention=cfg.mid_block_attention,
             dtype=self.dtype,
             impl=self.impl,
+            attn_impl=self.attn_impl,
             full_name=f"{fn}.mid_block",
             capture=self.capture,
         )
@@ -861,6 +879,7 @@ class Decoder(TapModule):
     config: VAEConfig = VAEConfig()
     dtype: Any = jnp.float32
     impl: str = "auto"
+    attn_impl: str = "auto"
     remat: Any = False
     full_name: str = "decoder"
     capture: CaptureTable = ()
@@ -881,6 +900,7 @@ class Decoder(TapModule):
             use_attention=cfg.mid_block_attention,
             dtype=self.dtype,
             impl=self.impl,
+            attn_impl=self.attn_impl,
             full_name=f"{fn}.mid_block",
             capture=self.capture,
         )
@@ -935,17 +955,20 @@ class AutoencoderKL(nn.Module):
     config: VAEConfig = VAEConfig()
     dtype: Any = jnp.float32
     impl: str = "auto"
+    attn_impl: str = "auto"
     remat: Any = False
     capture: CaptureTable = ()
 
     def setup(self):
         cfg = self.config
         self.encoder = Encoder(
-            config=cfg, dtype=self.dtype, impl=self.impl, remat=self.remat,
+            config=cfg, dtype=self.dtype, impl=self.impl,
+            attn_impl=self.attn_impl, remat=self.remat,
             full_name="encoder", capture=self.capture,
         )
         self.decoder = Decoder(
-            config=cfg, dtype=self.dtype, impl=self.impl, remat=self.remat,
+            config=cfg, dtype=self.dtype, impl=self.impl,
+            attn_impl=self.attn_impl, remat=self.remat,
             full_name="decoder", capture=self.capture,
         )
         self.quant_conv = VConv(

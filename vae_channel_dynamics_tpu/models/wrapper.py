@@ -32,11 +32,13 @@ class SDXLVAEWrapper:
         dtype: Any = jnp.float32,
         seed: int = 0,
         impl: str = "auto",
+        attn_impl: str = "auto",
         remat: Any = False,
     ):
         self.config = config or VAEConfig.sdxl()
         self.dtype = dtype
         self.impl = impl
+        self.attn_impl = attn_impl
         self.remat = remat
         self.scaling_factor = self.config.scaling_factor
         if params is None:
@@ -54,7 +56,7 @@ class SDXLVAEWrapper:
     def _module(self, capture: CaptureTable = ()) -> AutoencoderKL:
         return AutoencoderKL(
             config=self.config, dtype=self.dtype, impl=self.impl,
-            remat=self.remat, capture=capture,
+            attn_impl=self.attn_impl, remat=self.remat, capture=capture,
         )
 
     def init_params(self, seed: int = 0) -> Dict[str, Any]:

@@ -1,0 +1,137 @@
+"""Memory-bounded attention for the VAE mid block.
+
+The reference model's mid-block self-attention (diffusers ``Attention`` inside
+``AutoencoderKL``, reached via src/models/sdxl_vae_wrapper.py:42-77) is a
+single-head softmax attention over all spatial positions. Materializing the
+full logits matrix is O(N^2) memory: at 1024px the SDXL mid block attends over
+N = 128*128 = 16384 tokens, so the fp32 logits tensor alone is ~1 GB *per
+image* — the dominant single buffer at the 1024px memory wall (PERF.md).
+
+``chunked_attention`` computes the identical result (up to float
+reassociation) with FlashAttention-style online softmax over key chunks:
+
+  * live memory is O(N * chunk) — 16x less at 16384 tokens with chunk=1024;
+  * every scan step is ``jax.checkpoint``-ed, so the backward pass recomputes
+    each chunk's logits instead of saving them (without this, ``lax.scan``
+    residuals would re-materialize the full O(N^2) across steps);
+  * the matmuls stay large and MXU-shaped (N x chunk x C per step);
+  * the softmax accumulators (running max / denominator / numerator) are kept
+    in fp32, which is slightly *more* accurate than the naive path's
+    "softmax in fp32, then cast probabilities to compute dtype" ordering.
+
+This is the TPU-idiomatic answer to the problem the reference never hits (its
+largest configured resolution is 256px): compiler-friendly ``lax.scan`` +
+rematerialization rather than a hand-scheduled kernel. The attention FLOPs are
+~1.3% of a 1024px train step, so the ~2x recompute on them is noise while the
+memory relief is what unlocks larger per-chip batches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# Finite stand-in for -inf: exp(-1e30 - m) underflows to 0 for any real m,
+# but never produces the NaN that (-inf) - (-inf) would in the first step.
+_MASKED = -1e30
+
+# Auto policy: naive attention up to this many tokens (<=512px mid block for
+# the SDXL /8 downsampling), chunked above. Keeps the measured 256/512px
+# programs byte-identical while fixing the 1024px memory wall.
+AUTO_CHUNK_THRESHOLD = 4096
+DEFAULT_CHUNK = 1024
+
+
+def chunked_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    out_dtype: Any,
+    precision: jax.lax.Precision,
+    chunk: int = DEFAULT_CHUNK,
+) -> jax.Array:
+    """Single-head softmax attention, online over key chunks.
+
+    Args:
+      q, k, v: ``(batch, tokens, channels)`` in the model compute dtype.
+      scale: logit scale (``1/sqrt(channels)`` for the VAE mid block).
+      out_dtype: dtype of the returned array.
+      precision: matmul precision (HIGHEST at fp32 for torch parity,
+        DEFAULT at bf16 — same policy as the naive path).
+      chunk: key-chunk length; clamped to the key count. Keys are
+        zero-padded to a multiple of ``chunk`` and masked, so any token
+        count works.
+
+    Returns:
+      ``softmax(q @ k^T * scale) @ v`` of shape ``(batch, tokens, channels)``.
+    """
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    chunk = max(1, min(chunk, nk))
+    pad = (-nk) % chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    steps = (nk + pad) // chunk
+    # scan carries iterate over the leading axis: (steps, b, chunk, c)
+    kc = jnp.moveaxis(k.reshape(b, steps, chunk, c), 1, 0)
+    vc = jnp.moveaxis(v.reshape(b, steps, chunk, c), 1, 0)
+    if pad:
+        valid = (jnp.arange(steps * chunk) < nk).reshape(steps, 1, 1, chunk)
+    else:
+        valid = None
+
+    def body(carry, inp):
+        m, l, acc = carry
+        if valid is None:
+            kb, vb = inp
+        else:
+            kb, vb, mask = inp
+        s = (
+            jnp.einsum(
+                "bqc,bkc->bqk", q, kb,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            * scale
+        )
+        if valid is not None:
+            s = jnp.where(mask, s, _MASKED)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.einsum(
+            "bqk,bkc->bqc", p.astype(q.dtype), vb,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((b, nq, 1), _MASKED, jnp.float32),
+        jnp.zeros((b, nq, 1), jnp.float32),
+        jnp.zeros((b, nq, c), jnp.float32),
+    )
+    xs = (kc, vc) if valid is None else (kc, vc, valid)
+    (m, l, acc), _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), init, xs
+    )
+    return (acc / l).astype(out_dtype)
+
+
+def use_chunked(attn_impl: str, num_tokens: int) -> bool:
+    """Resolve the ``model.attention_impl`` policy for a given token count."""
+    if attn_impl == "chunked":
+        return True
+    if attn_impl == "naive":
+        return False
+    if attn_impl != "auto":
+        raise ValueError(
+            f"Unknown attention_impl {attn_impl!r}; "
+            "expected 'auto', 'naive' or 'chunked'."
+        )
+    return num_tokens > AUTO_CHUNK_THRESHOLD

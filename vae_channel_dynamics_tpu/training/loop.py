@@ -71,8 +71,18 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
 
     ``model.kernel_impl`` selects the compute-kernel path: ``auto`` (XLA,
     with fused Pallas resnets on TPU), ``xla``, ``pallas`` (standalone GN
-    kernels), or ``fused`` (Pallas gn+silu+conv resnet kernels)."""
+    kernels), or ``fused`` (Pallas gn+silu+conv resnet kernels).
+
+    ``model.attention_impl`` selects the mid-block attention: ``auto``
+    (naive <=4096 tokens, chunked above — the 1024px memory fix),
+    ``naive``, or ``chunked`` (ops/attention.py)."""
     impl = str(model_config.get("kernel_impl", "auto"))
+    attn_impl = str(model_config.get("attention_impl", "auto"))
+    if attn_impl not in ("auto", "naive", "chunked"):
+        raise ValueError(
+            f"Unknown model.attention_impl {attn_impl!r}; expected "
+            "'auto', 'naive' or 'chunked'."
+        )
     # model.remat: "none" (default) | "full" (block remat, ~14% slower,
     # minimum memory) | "conv" (save conv outputs, recompute elementwise
     # only — near-free memory saver for high resolutions)
@@ -85,7 +95,8 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
         cfg, params = model_io.load_model_dir(name)
         logger.info("Loaded VAE weights from local dir: %s", name)
         return SDXLVAEWrapper(
-            config=cfg, params=params, dtype=dtype, impl=impl, remat=remat
+            config=cfg, params=params, dtype=dtype, impl=impl,
+            attn_impl=attn_impl, remat=remat,
         )
     presets = {"sdxl": VAEConfig.sdxl, "sd": VAEConfig.sd, "tiny": VAEConfig.tiny}
     if arch not in presets:
@@ -103,7 +114,7 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
         )
     return SDXLVAEWrapper(
         config=cfg, dtype=dtype, seed=int(model_config.get("init_seed", 0)),
-        impl=impl, remat=remat,
+        impl=impl, attn_impl=attn_impl, remat=remat,
     )
 
 
@@ -138,7 +149,11 @@ class Trainer:
         is_main = jax.process_index() == 0
         parallel_config = config.get("parallel", {})
         spatial = as_int(parallel_config.get("spatial"), 1)
-        mesh = make_mesh(spatial=spatial)
+        # parallel.slices: multi-slice pods (slices joined by DCN) — the
+        # batch shards over (slice, data) jointly and gradient all-reduces
+        # decompose hierarchically (ICI within a slice, DCN once per slice).
+        slices = as_int(parallel_config.get("slices"), 1)
+        mesh = make_mesh(spatial=spatial, slices=slices)
         from ..parallel.mesh import data_axis_size
 
         n_shards = data_axis_size(mesh)
@@ -186,11 +201,12 @@ class Trainer:
                 )
             else:
                 # a sharded H axis would need conv halo exchange the fused
-                # kernel does not implement — only the spatial mesh falls
-                # back now
+                # kernel does not implement, and multi-slice meshes add a
+                # non-data axis the shard_map wrapper doesn't partition —
+                # both fall back
                 logger.warning(
-                    "model.kernel_impl='fused' does not support "
-                    "spatially-sharded meshes (%s) — falling back to "
+                    "model.kernel_impl='fused' only supports pure "
+                    "data-parallel meshes, not %s — falling back to "
                     "kernel_impl='auto'.", dict(mesh.shape),
                 )
                 wrapper.impl = "auto"

@@ -105,7 +105,7 @@ _KNOWN_KEYS: Set[str] = {
 _KNOWN_SECTION_KEYS: Dict[str, set] = {
     "model": {
         "pretrained_vae_name", "architecture", "init_seed", "kernel_impl",
-        "remat",
+        "attention_impl", "remat",
     },
     "data": {
         "dataset_name", "dataset_config_name", "image_column", "resolution",
@@ -152,7 +152,7 @@ _KNOWN_SECTION_KEYS: Dict[str, set] = {
         "enabled", "strategy", "nudge_factor", "nudge_value_add",
         "max_scale_value", "intervention_interval",
     },
-    "parallel": {"spatial"},
+    "parallel": {"spatial", "slices"},
     "profiling": {"enabled", "start_step", "num_steps", "output_subdir"},
 }
 
