@@ -64,15 +64,21 @@ def test_two_process_spmd_train_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(repo=repo))
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    # stdout goes to FILES, not pipes: XLA's compile-cache loader can emit
+    # tens of KB of warnings (e.g. AOT machine-feature mismatch after a VM
+    # migration), and an undrained 64 KB pipe would block the workers.
+    logs = [tmp_path / f"worker{i}.log" for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            stdout=open(logs[i], "w"), stderr=subprocess.STDOUT, env=env,
             text=True,
         )
         for i in range(2)
     ]
-    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for p in procs:
+        p.wait(timeout=300)
+    outputs = [log.read_text() for log in logs]
     losses = []
     for i, out in enumerate(outputs):
         assert procs[i].returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
@@ -157,30 +163,36 @@ def test_survivor_exits_nonzero_after_peer_death(tmp_path):
     script = tmp_path / "failure_worker.py"
     script.write_text(_FAILURE_WORKER.format(repo=repo))
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    # File-backed stdout for the same reason as the test above: undrained
+    # pipes deadlock when XLA's cache loader gets chatty.
+    logs = [tmp_path / f"fworker{i}.log" for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            stdout=open(logs[i], "w"), stderr=subprocess.STDOUT, env=env,
             text=True,
         )
         for i in range(2)
     ]
     # proc 1 self-destructs after step 2
-    out1, _ = procs[1].communicate(timeout=300)
+    procs[1].wait(timeout=300)
+    out1 = logs[1].read_text()
     assert procs[1].returncode == 17, out1[-2000:]
     t_death = time.monotonic()
 
     # the survivor must exit nonzero within the bound — not hang
     bound_s = 240
     try:
-        out0, _ = procs[0].communicate(timeout=bound_s)
+        procs[0].wait(timeout=bound_s)
     except subprocess.TimeoutExpired:
         procs[0].kill()
-        out0, _ = procs[0].communicate()
+        procs[0].wait()
+        out0 = logs[0].read_text()
         raise AssertionError(
             f"survivor still hung {bound_s}s after peer death "
             f"(indefinite collective hang):\n{out0[-3000:]}"
         )
+    out0 = logs[0].read_text()
     detect_s = time.monotonic() - t_death
     assert procs[0].returncode != 0, (
         f"survivor exited ZERO after peer death (silent false success):\n"

@@ -101,19 +101,28 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     cfg_path.write_text(yaml.safe_dump(cfg))
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", HF_HUB_OFFLINE="1")
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "vae_channel_dynamics_tpu.train",
-         "--config_path", str(cfg_path)],
-        cwd=REPO_ROOT, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
+    # Log to a FILE, not a PIPE: the trainer (orbax included) emits >64 KB
+    # before the first periodic checkpoint, so an undrained pipe fills its
+    # buffer and blocks the subprocess on write() forever — the test then
+    # times out "waiting for a checkpoint" that can never come.
+    log_path = tmp_path / "trainer.log"
+    with open(log_path, "w") as log_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vae_channel_dynamics_tpu.train",
+             "--config_path", str(cfg_path)],
+            cwd=REPO_ROOT, env=env,
+            stdout=log_f, stderr=subprocess.STDOUT, text=True,
+        )
     run_dir = tmp_path / "preempt_test"
-    deadline = time.time() + 240
+    # Generous: the subprocess shares this box's single core with the rest
+    # of the suite (and whatever else runs alongside it); 240 s was measured
+    # to flake under concurrent load while passing in ~120 s unloaded.
+    deadline = time.time() + 480
     try:
         # wait until the loop is demonstrably running (first periodic ckpt)
         while time.time() < deadline:
             if proc.poll() is not None:
-                out = proc.stdout.read()
+                out = log_path.read_text()
                 pytest.fail(f"trainer exited early ({proc.returncode}):\n{out[-3000:]}")
             if any(
                 p.name.startswith("chkpt-") for p in run_dir.glob("chkpt-*")
@@ -123,11 +132,12 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
         else:
             pytest.fail("no periodic checkpoint appeared before the deadline")
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=180)
+        proc.wait(timeout=180)
+        out = log_path.read_text()
     finally:
         if proc.poll() is None:
             proc.kill()
-            proc.communicate()
+            proc.wait()
     assert proc.returncode == 0, f"exit {proc.returncode}:\n{out[-3000:]}"
     assert "Preemption checkpoint written" in out
     ckpt = latest_checkpoint(str(run_dir))
