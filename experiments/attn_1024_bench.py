@@ -32,6 +32,11 @@ from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa
 RES = int(os.environ.get("VCD_ATTN_RES", "1024"))
 REMAT = os.environ.get("VCD_ATTN_REMAT", "full")
 ARCH = os.environ.get("VCD_ATTN_ARCH", "sdxl")  # tiny = CPU smoke test
+BATCHES = tuple(
+    int(b) for b in os.environ.get("VCD_ATTN_BATCHES", "1,2").split(",")
+)
+CASES = tuple(os.environ.get("VCD_ATTN_CASES", "train,fwd").split(","))
+IMPLS = tuple(os.environ.get("VCD_ATTN_IMPLS", "chunked,naive").split(","))
 
 
 def emit(**kw):
@@ -52,10 +57,10 @@ def main() -> int:
     rng = jax.random.PRNGKey(2)
 
     cases = []
-    for attn in ("chunked", "naive"):
-        for batch in (1, 2):
-            cases.append(("train", attn, batch))
-            cases.append(("fwd", attn, batch))
+    for attn in IMPLS:
+        for batch in BATCHES:
+            for kind in CASES:
+                cases.append((kind, attn, batch))
 
     for kind, attn, batch in cases:
         t0 = time.time()
