@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--deterministic", default=True,
                    type=lambda x: str(x).lower() == "true",
                    help="Use the posterior mode instead of sampling at encode.")
+    p.add_argument("--attention_impl", default="auto",
+                   choices=["auto", "naive", "chunked"],
+                   help="Mid-block attention: auto picks chunked online "
+                        "softmax above 4096 tokens (>512px) — the 1024px "
+                        "memory fix; naive is fastest at small batch.")
     return p.parse_args(argv)
 
 
@@ -70,7 +75,10 @@ def main(argv=None) -> int:
     if not os.path.isdir(vae_dir):
         vae_dir = args.checkpoint_path
     config, params = model_io.load_model_dir(vae_dir)
-    wrapper = SDXLVAEWrapper(config=config, params=params, dtype=jnp.bfloat16)
+    wrapper = SDXLVAEWrapper(
+        config=config, params=params, dtype=jnp.bfloat16,
+        attn_impl=args.attention_impl,
+    )
 
     t0 = time.perf_counter()
     n_processed = 0

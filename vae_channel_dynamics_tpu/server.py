@@ -546,6 +546,11 @@ def parse_args(argv=None):
                    help="Socket read timeout per connection.")
     p.add_argument("--no_warmup", action="store_true",
                    help="Skip compiling the endpoints before accepting traffic.")
+    p.add_argument("--attention_impl", default="auto",
+                   choices=["auto", "naive", "chunked"],
+                   help="Mid-block attention: auto picks chunked online "
+                        "softmax above 4096 tokens (>512px) — the 1024px "
+                        "memory fix; naive is fastest at small batch.")
     return p.parse_args(argv)
 
 
@@ -563,7 +568,10 @@ def main(argv=None) -> int:
     if not os.path.isdir(vae_dir):
         vae_dir = args.checkpoint_path
     config, params = model_io.load_model_dir(vae_dir)
-    wrapper = SDXLVAEWrapper(config=config, params=params, dtype=jnp.bfloat16)
+    wrapper = SDXLVAEWrapper(
+        config=config, params=params, dtype=jnp.bfloat16,
+        attn_impl=args.attention_impl,
+    )
     server = VAEServer(
         wrapper,
         resolution=args.resolution,
