@@ -144,7 +144,12 @@ def main(argv=None) -> int:
 
     mixed_precision = config.get("training", {}).get("mixed_precision", "no")
     dtype = jnp.bfloat16 if mixed_precision in ("bf16", "fp16") else jnp.float32
-    wrapper = SDXLVAEWrapper(config=vae_config, params=params, dtype=dtype)
+    wrapper = SDXLVAEWrapper(
+        config=vae_config, params=params, dtype=dtype,
+        # honor the run's attention policy so 1024px evals avoid the
+        # quadratic logits buffer exactly like their training runs did
+        attn_impl=str(config.get("model", {}).get("attention_impl", "auto")),
+    )
 
     logit_lens = None
     if args.enable_logit_lens:
