@@ -77,7 +77,7 @@ def test_two_process_spmd_train_step(tmp_path):
         for i in range(2)
     ]
     for p in procs:
-        p.wait(timeout=300)
+        p.wait(timeout=600)
     outputs = [log.read_text() for log in logs]
     losses = []
     for i, out in enumerate(outputs):
@@ -175,7 +175,7 @@ def test_survivor_exits_nonzero_after_peer_death(tmp_path):
         for i in range(2)
     ]
     # proc 1 self-destructs after step 2
-    procs[1].wait(timeout=300)
+    procs[1].wait(timeout=600)
     out1 = logs[1].read_text()
     assert procs[1].returncode == 17, out1[-2000:]
     t_death = time.monotonic()

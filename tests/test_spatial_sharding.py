@@ -104,4 +104,10 @@ def test_trainer_with_spatial_config(tmp_path):
     }
     summary = Trainer(config).train()
     assert summary["global_step"] >= 2
-    assert (tmp_path / "sp2" / "final_model" / "vae" / "model.safetensors").exists()
+    assert (
+        tmp_path
+        / "sp2"
+        / "final_model"
+        / "vae"
+        / "diffusion_pytorch_model.safetensors"
+    ).exists()

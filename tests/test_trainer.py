@@ -114,7 +114,9 @@ def test_tiny_end_to_end_run(tmp_path):
     assert (run_dir / "metrics.jsonl").exists()
     assert (run_dir / "tracked_activation_stats.csv").exists()
     assert (run_dir / "intervention_history.csv").exists()
-    assert (run_dir / "final_model" / "vae" / "model.safetensors").exists()
+    assert (
+        run_dir / "final_model" / "vae" / "diffusion_pytorch_model.safetensors"
+    ).exists()
     assert (run_dir / "final_model" / "state").is_dir()
     assert (run_dir / "dead_neuron_percentage_history.csv").exists()
     # intervention actually nudged scales

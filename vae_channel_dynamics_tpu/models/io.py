@@ -1,10 +1,17 @@
-"""Model directory save/load and diffusers-checkpoint import.
+"""Model directory save/load and diffusers-checkpoint import/export.
 
 ``save_model_dir``/``load_model_dir`` produce the ``<ckpt>/vae`` directory
 the evaluate CLI loads (the analog of diffusers save_pretrained /
-from_pretrained used at src/train.py:409-415 and src/evaluate.py:91-103):
-``config.json`` + ``model.safetensors`` with torch-style parameter names and
-layouts, so the directory is also inspectable by torch-side tooling.
+from_pretrained used at src/train.py:409-415 and src/evaluate.py:91-103).
+The directory is **diffusers-compatible by construction**:
+``config.json`` carries the full AutoencoderKL constructor schema
+(down/up block types, act_fn, …) and the weights are written as
+``diffusion_pytorch_model.safetensors`` with torch parameter names and
+layouts (OIHW convs, (out,in) linears) — so ``AutoencoderKL.from_pretrained``
+on a torch machine loads a TPU-trained model directly, completing the
+reference's artifact contract in both directions (the reference only ever
+writes this format, src/train.py:409-415). ``load_model_dir`` also accepts
+the pre-round-3 ``model.safetensors`` filename for old run dirs.
 
 ``import_diffusers_state_dict`` converts a diffusers AutoencoderKL state
 dict (torch names, OIHW conv kernels) into our Flax params pytree, enabling
@@ -24,8 +31,44 @@ import numpy as np
 from ..utils import naming
 from .vae import VAEConfig
 
-_SAFETENSORS_NAME = "model.safetensors"
+# Canonical (diffusers) weight filename first; the legacy name second so
+# model dirs written before round 3 keep loading.
+_SAFETENSORS_NAMES = (
+    "diffusion_pytorch_model.safetensors",
+    "model.safetensors",
+)
 _CONFIG_NAME = "config.json"
+
+
+def diffusers_config_dict(config: VAEConfig) -> Dict[str, Any]:
+    """The full diffusers ``AutoencoderKL`` constructor schema for
+    ``config``, as ``save_pretrained`` would write it. Block-type lists are
+    derived from the channel tuple (the SDXL VAE uses one encoder/decoder
+    block type throughout); ``_diffusers_version`` is deliberately omitted —
+    readers tolerate its absence and fabricating a version we did not run
+    would be misleading."""
+    n = len(config.block_out_channels)
+    d = {
+        "_class_name": "AutoencoderKL",
+        "act_fn": "silu",
+        "block_out_channels": list(config.block_out_channels),
+        "down_block_types": ["DownEncoderBlock2D"] * n,
+        "up_block_types": ["UpDecoderBlock2D"] * n,
+        "in_channels": config.in_channels,
+        "out_channels": config.out_channels,
+        "latent_channels": config.latent_channels,
+        "layers_per_block": config.layers_per_block,
+        "norm_num_groups": config.norm_num_groups,
+        "sample_size": config.sample_size,
+        "scaling_factor": config.scaling_factor,
+    }
+    # diffusers spells the attention toggle mid_block_add_attention; write
+    # both so either reader sees its own key. norm_eps is ours alone
+    # (diffusers hard-codes 1e-6); ConfigMixin ignores unexpected keys.
+    d["mid_block_add_attention"] = config.mid_block_attention
+    d["mid_block_attention"] = config.mid_block_attention
+    d["norm_eps"] = config.norm_eps
+    return d
 
 
 def flatten_params(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
@@ -78,14 +121,24 @@ def unflatten_params(
 
 
 def save_model_dir(path: str, config: VAEConfig, params: Dict[str, Any]) -> None:
+    """Write a diffusers-compatible AutoencoderKL directory (see module
+    docstring): torch-layout fp32 weights + full constructor config."""
     os.makedirs(path, exist_ok=True)
     flat = flatten_params(jax.device_get(params))
     from safetensors.numpy import save_file
 
-    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
-              os.path.join(path, _SAFETENSORS_NAME))
-    cfg = config.to_dict()
-    cfg["_class_name"] = "AutoencoderKL"
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in flat.items()},
+        os.path.join(path, _SAFETENSORS_NAMES[0]),
+    )
+    # a run dir reused across versions must not keep a stale legacy-named
+    # weight file alongside the canonical one (loaders prefer canonical,
+    # but two divergent weight files in one dir is a trap)
+    for legacy in _SAFETENSORS_NAMES[1:]:
+        legacy_path = os.path.join(path, legacy)
+        if os.path.exists(legacy_path):
+            os.remove(legacy_path)
+    cfg = diffusers_config_dict(config)
     cfg["_framework"] = "vae_channel_dynamics_tpu"
     with open(os.path.join(path, _CONFIG_NAME), "w") as f:
         json.dump(cfg, f, indent=2)
@@ -101,7 +154,17 @@ def load_model_dir(
     config = VAEConfig.from_dict(cfg_dict)
     from safetensors.numpy import load_file
 
-    state_dict = load_file(os.path.join(path, _SAFETENSORS_NAME))
+    weights_path = None
+    for name in _SAFETENSORS_NAMES:
+        cand = os.path.join(path, name)
+        if os.path.exists(cand):
+            weights_path = cand
+            break
+    if weights_path is None:
+        raise FileNotFoundError(
+            f"No safetensors weights in {path} (looked for {_SAFETENSORS_NAMES})"
+        )
+    state_dict = load_file(weights_path)
     if template is None:
         from .wrapper import SDXLVAEWrapper
 

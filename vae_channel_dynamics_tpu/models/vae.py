@@ -110,6 +110,9 @@ class VAEConfig:
     def from_dict(cls, d: Dict[str, Any]) -> "VAEConfig":
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
+        # diffusers spells the attention toggle mid_block_add_attention
+        if "mid_block_attention" not in d and "mid_block_add_attention" in d:
+            kwargs["mid_block_attention"] = bool(d["mid_block_add_attention"])
         if "block_out_channels" in kwargs:
             kwargs["block_out_channels"] = tuple(kwargs["block_out_channels"])
         return cls(**kwargs)

@@ -12,6 +12,15 @@ writes our model dir, which ``model.pretrained_vae_name`` and the evaluate
 CLI load directly. This enables tensor-by-tensor parity checks against the
 reference's pretrained weights when a checkpoint is available locally
 (the reference fetches it from the Hub at src/models/sdxl_vae_wrapper.py:31-34).
+
+``--reverse`` converts the other way: a model dir written by this framework
+(including pre-round-3 ``model.safetensors`` dirs) is re-emitted as a
+canonical diffusers AutoencoderKL directory — full constructor config.json
+plus ``diffusion_pytorch_model.safetensors`` — so a TPU-trained checkpoint
+loads on a torch machine via ``AutoencoderKL.from_pretrained``, the same
+artifact the reference's own training run exports (src/train.py:409-415).
+Model dirs saved in round 3+ are already in this format; ``--reverse``
+exists to upgrade old dirs and to make the round trip an explicit tool.
 """
 
 from __future__ import annotations
@@ -52,6 +61,7 @@ def convert(src: str, dst: str) -> None:
         norm_num_groups=diff_cfg.get("norm_num_groups", 32),
         scaling_factor=diff_cfg.get("scaling_factor", 0.13025),
         sample_size=diff_cfg.get("sample_size", 1024),
+        mid_block_attention=bool(diff_cfg.get("mid_block_add_attention", True)),
     )
     weights_path = None
     for name in _DIFFUSERS_WEIGHT_NAMES:
@@ -73,18 +83,34 @@ def convert(src: str, dst: str) -> None:
     logger.info("Converted model written to %s", dst)
 
 
+def export(src: str, dst: str) -> None:
+    """Model dir written by this framework -> canonical diffusers dir."""
+    from ..models import io as model_io
+
+    config, params = model_io.load_model_dir(src)
+    model_io.save_model_dir(dst, config, params)
+    logger.info("Diffusers-format model written to %s", dst)
+
+
 def main(argv=None) -> int:
     apply_platform_env()
     from ..utils.logging_utils import setup_logging
 
     setup_logging()
     parser = argparse.ArgumentParser(
-        description="Convert a diffusers AutoencoderKL dir to the TPU format."
+        description="Convert between diffusers AutoencoderKL dirs and this "
+        "framework's model dirs (which are diffusers-compatible)."
     )
-    parser.add_argument("--src", required=True, help="diffusers model dir")
+    parser.add_argument("--src", required=True, help="source model dir")
     parser.add_argument("--dst", required=True, help="output model dir")
+    parser.add_argument(
+        "--reverse",
+        action="store_true",
+        help="export a framework model dir as a canonical diffusers dir "
+        "(default: import a diffusers dir into the framework format)",
+    )
     args = parser.parse_args(argv)
-    convert(args.src, args.dst)
+    (export if args.reverse else convert)(args.src, args.dst)
     return 0
 
 
