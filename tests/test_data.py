@@ -148,6 +148,65 @@ def test_dataloader_fully_bad_batch_is_none():
     assert list(loader) == [None]
 
 
+def test_dataloader_iter_batches_index_skip():
+    """iter_batches(start_batch=k) is the O(1) resume fast-forward: it must
+    yield exactly the tail of the epoch __iter__ would produce, WITHOUT
+    touching (decoding) any skipped index (training/loop.py resume path)."""
+
+    class Counting:
+        def __init__(self, n):
+            self.n = n
+            self.accessed = []
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.accessed.append(int(i))
+            rng = np.random.default_rng(i)
+            return {
+                "pixel_values": rng.normal(size=(4, 4, 3)).astype(np.float32)
+            }
+
+    full_ds, skip_ds = Counting(22), Counting(22)
+    kwargs = dict(batch_size=4, shuffle=True, seed=7)
+    full = list(create_dataloader(full_ds, **kwargs))
+    resumed = list(
+        create_dataloader(skip_ds, **kwargs).iter_batches(start_batch=3)
+    )
+    assert len(full) == 6 and len(resumed) == 3
+    for a, b in zip(full[3:], resumed):
+        np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+    # no skipped index was ever fetched: the skip is index-level, not decode
+    assert len(skip_ds.accessed) == 22 - 3 * 4
+    assert set(skip_ds.accessed) == set(full_ds.accessed[3 * 4:])
+    # threaded path takes the same fast-forward
+    threaded_ds = Counting(22)
+    threaded = list(
+        create_dataloader(threaded_ds, num_workers=2, **kwargs).iter_batches(
+            start_batch=3
+        )
+    )
+    assert len(threaded_ds.accessed) == 22 - 3 * 4
+    for a, b in zip(resumed, threaded):
+        np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+    # skipping past the epoch end yields nothing (and doesn't error)
+    assert list(create_dataloader(Counting(22), **kwargs).iter_batches(99)) == []
+
+
+def test_dataloader_iter_batches_rejects_streaming_skip():
+    def stream():
+        yield {"pixel_values": np.zeros((4, 4, 3), np.float32)}
+
+    class Stream:
+        def __iter__(self):
+            return stream()
+
+    loader = create_dataloader(Stream(), batch_size=1, shuffle=False)
+    with pytest.raises(TypeError):
+        next(loader.iter_batches(start_batch=1))
+
+
 def test_dataloader_threaded_matches_sync():
     ds = SyntheticImageDataset("gradients", 9, 8, seed=3)
     sync = list(create_dataloader(ds, batch_size=4, shuffle=False))

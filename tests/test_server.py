@@ -411,3 +411,48 @@ def test_microbatcher_close_is_idempotent_and_race_safe():
     mb.close()  # second close is a no-op, not an error
     with pytest.raises(RuntimeError, match="stopped"):
         mb.submit("x", np.zeros((1,)))
+
+
+def test_stalled_client_is_timed_out_and_does_not_pin_the_server():
+    """A client that claims a Content-Length then stalls mid-body must be
+    disconnected by the per-connection read timeout (server.py Handler
+    .timeout) — the handler thread frees and the daemon keeps serving.
+    This is the last untested leg of the overload spec ('stalled clients
+    cannot pin handler threads')."""
+    import socket
+
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    srv = VAEServer(
+        wrapper, resolution=RES, max_batch=1, max_wait_ms=0.0, port=0,
+        read_timeout_s=1.5,
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        stalled = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        stalled.sendall(
+            b"POST /reconstruct HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Length: 5000\r\n\r\n"
+            + b"x" * 10  # then stall: 4990 promised bytes never arrive
+        )
+        # the server must drop the connection within ~read_timeout_s: the
+        # stalled socket sees EOF (or a reset) rather than hanging forever
+        stalled.settimeout(10.0)
+        t0 = time.monotonic()
+        try:
+            got = stalled.recv(4096)
+        except (ConnectionResetError, socket.timeout) as e:
+            assert not isinstance(e, socket.timeout), (
+                "server never closed the stalled connection"
+            )
+            got = b""
+        elapsed = time.monotonic() - t0
+        assert elapsed < 8.0, f"stalled connection held {elapsed:.1f}s"
+        # whatever was sent back (b'' on clean close, or a 408), the
+        # connection is over and the daemon still serves normal traffic
+        status, _, body = _post(srv, "/reconstruct", _png_bytes(9))
+        assert status == 200
+        stalled.close()
+        del got
+    finally:
+        srv.shutdown()

@@ -548,7 +548,26 @@ class DataLoader:
             yield self._collate(buf)
 
     def __iter__(self) -> Iterator[Optional[Dict[str, np.ndarray]]]:
+        yield from self.iter_batches()
+
+    def iter_batches(
+        self, start_batch: int = 0
+    ) -> Iterator[Optional[Dict[str, np.ndarray]]]:
+        """Iterate the epoch's batches, optionally starting mid-epoch.
+
+        ``start_batch`` is the resume fast-forward for map-style datasets:
+        the epoch's (seeded) permutation is computed as usual and the first
+        N batches are skipped at the INDEX level — no decode, no transform —
+        so resuming deep into an epoch costs O(1) instead of re-decoding
+        every already-consumed image. Only valid for map-style datasets
+        (streaming has no random access; the caller consume-skips instead).
+        """
         if self.is_iterable:
+            if start_batch:
+                raise TypeError(
+                    "iter_batches(start_batch>0) requires a map-style "
+                    "dataset; streaming datasets must consume-skip"
+                )
             yield from self._iter_streaming()
             return
         order = self._order()
@@ -558,8 +577,9 @@ class DataLoader:
         def batch_indices(b: int) -> np.ndarray:
             return order[b * self.batch_size : (b + 1) * self.batch_size]
 
+        start = min(int(start_batch), n_batches)
         if self.num_workers <= 0:
-            for b in range(n_batches):
+            for b in range(start, n_batches):
                 yield self._collate([self._fetch(i) for i in batch_indices(b)])
             return
 
@@ -573,9 +593,9 @@ class DataLoader:
                 futures = [pool.submit(self._fetch, i) for i in batch_indices(b)]
                 pending.put(futures)
 
-            for b in range(min(depth, n_batches)):
+            for b in range(start, min(start + depth, n_batches)):
                 submit(b)
-            for b in range(n_batches):
+            for b in range(start, n_batches):
                 futures = pending.get()
                 if b + depth < n_batches:
                     submit(b + depth)

@@ -497,17 +497,29 @@ class Trainer:
             thread, overlapping H2D transfer with device compute (the
             pin_memory/prefetch analog of data_utils.py:218-225).
 
-            ``skip`` consumes the first N valid batches without padding or
-            device transfer — the resume fast-forward: a resumed run re-enters
-            its epoch mid-stream and sees exactly the batches an uninterrupted
-            run would (the per-epoch shuffle is seeded by epoch number, so the
-            order is reproducible)."""
+            ``skip`` skips the first N batches — the resume fast-forward: a
+            resumed run re-enters its epoch mid-stream and sees exactly the
+            batches an uninterrupted run would (the per-epoch shuffle is
+            seeded by epoch number, so the order is reproducible). Map-style
+            datasets skip at the INDEX level (O(1) — no decode of consumed
+            data, which on a long run would cost minutes of re-decoding);
+            streaming datasets consume-skip linearly, the same cost as any
+            restarted stream. The two differ only if a skipped batch was
+            fully bad (every item undecodable — collate yields ``None``,
+            which the uninterrupted run did not count as a step): index
+            skipping cannot see decode failures, so such batches shift the
+            resume point by one. Accepted: it matches what torch/accelerate's
+            ``skip_first_batches`` does, and a dataset where whole batches
+            vanish mid-training has no stable step<->data mapping anyway."""
             batch_cap = batches_per_epoch_cap if cap == "train" else _uniform_cap(loader)
             pad_to = _pad_multiple(loader)
+            index_skip = 0
+            if skip and not loader.is_iterable:
+                index_skip, skip = skip, 0
 
             def gen():
-                emitted = 0
-                for batch in loader:
+                emitted = index_skip
+                for batch in loader.iter_batches(start_batch=index_skip):
                     if batch_cap is not None and emitted >= batch_cap:
                         break
                     if batch is None:
