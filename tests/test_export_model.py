@@ -1,0 +1,92 @@
+"""StableHLO export artifacts: round-trip fidelity and symbolic batch.
+
+The exported entry points must (a) reproduce the live model's outputs,
+(b) accept any batch size (the batch dim is symbolic), and (c) carry a
+manifest that fully describes the artifact. The exporter is the TPU-native
+deployment analog of the TorchScript/ONNX exports the reference ecosystem
+gets from diffusers (nothing in the reference repo itself exports models).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_channel_dynamics_tpu.models import SDXLVAEWrapper, VAEConfig
+from vae_channel_dynamics_tpu.models.io import save_model_dir
+from vae_channel_dynamics_tpu.tools.export_model import (
+    export_model_dir,
+    load_exported,
+    main,
+)
+
+RES = 16
+
+
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("export")
+    model_dir = os.path.join(root, "model")
+    dst = os.path.join(root, "artifacts")
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    save_model_dir(model_dir, wrapper.config, wrapper.params)
+    manifest = export_model_dir(model_dir, dst, resolution=RES)
+    return wrapper, dst, manifest
+
+
+def test_manifest_describes_every_entry_point(export_dir):
+    _, dst, manifest = export_dir
+    on_disk = json.load(open(os.path.join(dst, "manifest.json")))
+    assert on_disk == manifest
+    assert set(manifest["entry_points"]) == {"encode", "decode", "reconstruct"}
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    assert manifest["resolution"] == RES
+    for info in manifest["entry_points"].values():
+        path = os.path.join(dst, info["file"])
+        assert os.path.getsize(path) == info["bytes"] > 0
+        # params are an argument, not baked-in constants: artifacts are tiny
+        assert info["bytes"] < 5 << 20
+
+
+def test_exported_matches_live_model_across_batch_sizes(export_dir):
+    wrapper, dst, manifest = export_dir
+    fns = load_exported(dst)
+    latent_res = manifest["latent_resolution"]
+    for batch in (1, 3):  # symbolic batch: both sizes run the same artifact
+        x = jax.random.uniform(
+            jax.random.PRNGKey(batch), (batch, RES, RES, 3), jnp.float32,
+            -1.0, 1.0,
+        )
+        z = fns["encode"](wrapper.params, x)
+        assert z.shape == (batch, latent_res, latent_res, 4)
+        np.testing.assert_allclose(
+            np.asarray(z),
+            np.asarray(wrapper.encode(x, deterministic=True)),
+            rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fns["decode"](wrapper.params, z)),
+            np.asarray(wrapper.decode(z)),
+            rtol=0, atol=1e-6,
+        )
+        want = wrapper.forward(x, sample_posterior=False)["reconstruction"]
+        np.testing.assert_allclose(
+            np.asarray(fns["reconstruct"](wrapper.params, x)),
+            np.asarray(want),
+            rtol=0, atol=1e-6,
+        )
+
+
+def test_cli_export_and_check(tmp_path):
+    model_dir = str(tmp_path / "model")
+    dst = str(tmp_path / "out")
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=1)
+    save_model_dir(model_dir, wrapper.config, wrapper.params)
+    assert main([
+        "--model_dir", model_dir, "--dst", dst,
+        "--resolution", str(RES), "--check",
+    ]) == 0
+    assert os.path.exists(os.path.join(dst, "manifest.json"))
