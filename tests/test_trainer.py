@@ -61,7 +61,11 @@ def test_tiny_end_to_end_run(tmp_path):
             "validation_epochs": 1,
         },
         "logging": {"log_interval": 1, "report_to": "jsonl"},
-        "saving": {"save_interval_steps": 2, "checkpoint_dir_prefix": "chkpt"},
+        "saving": {
+            "save_interval_steps": 2,
+            "checkpoint_dir_prefix": "chkpt",
+            "export_stablehlo": True,
+        },
         "dead_neuron_tracking": {
             "enabled": True,
             "track_interval": 1,
@@ -119,6 +123,19 @@ def test_tiny_end_to_end_run(tmp_path):
     ).exists()
     assert (run_dir / "final_model" / "state").is_dir()
     assert (run_dir / "dead_neuron_percentage_history.csv").exists()
+    # saving.export_stablehlo wrote runnable deployment artifacts
+    from vae_channel_dynamics_tpu.models.io import load_model_dir
+    from vae_channel_dynamics_tpu.tools.export_model import load_exported
+
+    export_dir = run_dir / "final_model" / "exported"
+    assert summary["export_dir"] == str(export_dir)
+    fns = load_exported(str(export_dir))
+    _, params = load_model_dir(str(run_dir / "final_model" / "vae"))
+    recon = fns["reconstruct"](
+        params, np.zeros((1, 16, 16, 3), np.float32)
+    )
+    assert recon.shape == (1, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(recon)))
     # intervention actually nudged scales
     rows = (run_dir / "intervention_history.csv").read_text().strip().splitlines()
     assert len(rows) >= 1

@@ -955,6 +955,31 @@ class Trainer:
             logger.info("EMA VAE saved to %s", ema_dir)
             summary["ema_model_dir"] = ema_dir
 
+        if self.config.get("saving", {}).get("export_stablehlo", False):
+            # deployment artifacts next to the model dir: serialized
+            # encode/decode/reconstruct (symbolic batch, cpu+tpu) — see
+            # tools/export_model.py. EMA weights share the same program,
+            # so one export serves both parameter sets.
+            from ..tools.export_model import export_model_dir
+
+            export_dir = os.path.join(final_dir, "exported")
+            export_model_dir(
+                vae_dir,
+                export_dir,
+                resolution=int(
+                    self.config.get("data", {}).get("resolution", 256)
+                ),
+                dtype_name=(
+                    "bf16"
+                    if self.config.get("training", {}).get(
+                        "mixed_precision", "no"
+                    ) in ("bf16", "fp16")
+                    else "fp32"
+                ),
+            )
+            logger.info("StableHLO deployment artifacts in %s", export_dir)
+            summary["export_dir"] = export_dir
+
         activity_csv = None
         if monitor.enabled:
             records = monitor.export_all_processed_data_to_records()

@@ -126,7 +126,7 @@ _KNOWN_SECTION_KEYS: Dict[str, set] = {
     "logging": {"log_interval", "report_to", "entity"},
     "saving": {
         "save_interval_steps", "save_interval", "checkpoint_dir_prefix",
-        "keep_last_n", "async_save",
+        "keep_last_n", "async_save", "export_stablehlo",
     },
     "dead_neuron_tracking": {
         "enabled", "track_interval", "target_layer_names_for_raw_weights",
