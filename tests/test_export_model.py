@@ -90,3 +90,75 @@ def test_cli_export_and_check(tmp_path):
         "--resolution", str(RES), "--check",
     ]) == 0
     assert os.path.exists(os.path.join(dst, "manifest.json"))
+
+
+def test_server_serves_exported_artifacts(export_dir):
+    """server.py --exported_dir mode: the daemon runs the pinned StableHLO
+    programs (never re-traces model code), matches the live model, and
+    rejects sampling requests with a client error (deterministic-only)."""
+    import io as io_mod
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from vae_channel_dynamics_tpu.server import VAEServer
+    from vae_channel_dynamics_tpu.tools.export_model import ExportedVAEWrapper
+
+    wrapper, dst, manifest = export_dir
+    adapter = ExportedVAEWrapper(dst, wrapper.params)
+    assert adapter.resolution == RES
+    srv = VAEServer(
+        adapter, resolution=RES, max_batch=2, max_wait_ms=5.0, port=0,
+        use_mesh=False,
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        srv.warmup()  # deterministic endpoints only — must not raise
+        rng = np.random.default_rng(0)
+        pixels = rng.uniform(-1, 1, (RES, RES, 3)).astype(np.float32)
+        buf = io_mod.BytesIO()
+        np.save(buf, pixels)
+        body = buf.getvalue()
+        url = f"http://127.0.0.1:{srv.port}"
+
+        req = urllib.request.Request(
+            f"{url}/reconstruct?format=npy", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            got = np.load(io_mod.BytesIO(resp.read()))
+        want = wrapper.forward(pixels[None], sample_posterior=False)[
+            "reconstruction"
+        ]
+        np.testing.assert_allclose(got, np.asarray(want)[0], atol=1e-5)
+
+        # encode -> decode round trip through the artifacts
+        req = urllib.request.Request(
+            f"{url}/encode", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            z = np.load(io_mod.BytesIO(resp.read()))
+        assert z.shape == (
+            manifest["latent_resolution"], manifest["latent_resolution"], 4
+        )
+        zbuf = io_mod.BytesIO()
+        np.save(zbuf, z)
+        req = urllib.request.Request(
+            f"{url}/decode", data=zbuf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+
+        # sampling is not in the artifact: clear 400, not a silent fallback
+        req = urllib.request.Request(
+            f"{url}/reconstruct?format=npy&deterministic=false",
+            data=body, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=120)
+        assert exc.value.code == 400
+        assert "deterministic" in exc.value.read().decode()
+    finally:
+        srv.shutdown()

@@ -551,6 +551,12 @@ def parse_args(argv=None):
                    help="Mid-block attention: auto picks chunked online "
                         "softmax above 4096 tokens (>512px) — the 1024px "
                         "memory fix; naive is fastest at small batch.")
+    p.add_argument("--exported_dir", default=None,
+                   help="Serve pinned StableHLO artifacts from this export "
+                        "dir (tools/export_model.py) instead of re-tracing "
+                        "the model: deterministic-only; resolution comes "
+                        "from the artifact manifest; weights still load "
+                        "from --checkpoint_path.")
     return p.parse_args(argv)
 
 
@@ -568,17 +574,35 @@ def main(argv=None) -> int:
     if not os.path.isdir(vae_dir):
         vae_dir = args.checkpoint_path
     config, params = model_io.load_model_dir(vae_dir)
-    wrapper = SDXLVAEWrapper(
-        config=config, params=params, dtype=jnp.bfloat16,
-        attn_impl=args.attention_impl,
-    )
+    use_mesh = None
+    resolution = args.resolution
+    if args.exported_dir:
+        from .tools.export_model import ExportedVAEWrapper
+
+        wrapper = ExportedVAEWrapper(args.exported_dir, params)
+        if wrapper.resolution != args.resolution:
+            logger.info(
+                "Serving at the artifact's resolution %d (manifest), "
+                "not --resolution %d.", wrapper.resolution, args.resolution,
+            )
+        resolution = wrapper.resolution
+        # exported programs carry their own (single-device) shardings;
+        # GSPMD cannot repartition a deserialized call, so mesh serving
+        # stays a live-model feature
+        use_mesh = False
+    else:
+        wrapper = SDXLVAEWrapper(
+            config=config, params=params, dtype=jnp.bfloat16,
+            attn_impl=args.attention_impl,
+        )
     server = VAEServer(
         wrapper,
-        resolution=args.resolution,
+        resolution=resolution,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         host=args.host,
         port=args.port,
+        use_mesh=use_mesh,
         max_queue=args.max_queue,
         max_body_bytes=int(args.max_body_mb * (1 << 20)),
         read_timeout_s=args.read_timeout_s,

@@ -178,6 +178,78 @@ def load_exported(path: str) -> Dict[str, Callable]:
     return fns
 
 
+class ExportedVAEWrapper:
+    """Serve the pinned StableHLO artifacts through the wrapper protocol
+    the serving daemon consumes (``encode``/``decode``/``forward`` plus the
+    ``config``/``params`` attributes it reads).
+
+    This is the deployment mode of ``server.py --exported_dir``: the device
+    programs are the serialized artifacts — the exact HLO that was
+    validated at export time — never re-traced from current model code, so
+    a serving fleet is immune to framework drift between export and
+    deploy. Deterministic-only by construction (artifacts contain no
+    sampling program): ``?deterministic=false`` requests fail with a clear
+    client error instead of silently sampling differently than the
+    artifact's contract.
+    """
+
+    class _ArtifactConfig:
+        """Only what the daemon reads: the downsample depth (via
+        ``len(block_out_channels)``) and the latent channel count. Channel
+        WIDTHS are not in the manifest and are deliberately zeroed — any
+        consumer that needs real widths should load the model dir."""
+
+        def __init__(self, manifest: Dict[str, Any]):
+            down = manifest["resolution"] // manifest["latent_resolution"]
+            self.block_out_channels = (0,) * down.bit_length()
+            self.latent_channels = int(manifest["latent_channels"])
+            self.scaling_factor = float(manifest["scaling_factor"])
+
+    def __init__(self, export_dir: str, params: Dict[str, Any]):
+        import jax.numpy as jnp
+
+        with open(os.path.join(export_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self._fns = load_exported(export_dir)
+        self.params = params
+        self.config = self._ArtifactConfig(self.manifest)
+        self.resolution = int(self.manifest["resolution"])
+        self._dtype = (
+            jnp.bfloat16
+            if self.manifest["dtype"] == "bfloat16"
+            else jnp.float32
+        )
+
+    def _cast(self, x):
+        import jax.numpy as jnp
+
+        return jnp.asarray(x, self._dtype)
+
+    @staticmethod
+    def _deterministic_only(what: str):
+        raise ValueError(
+            f"{what} is not available when serving exported artifacts "
+            "(deterministic-only); serve the live model for sampling"
+        )
+
+    def encode(self, pixel_values, rng=None, deterministic: bool = False):
+        if not deterministic:
+            self._deterministic_only("posterior sampling (encode)")
+        return self._fns["encode"](self.params, self._cast(pixel_values))
+
+    def decode(self, latents):
+        return self._fns["decode"](self.params, self._cast(latents))
+
+    def forward(self, pixel_values, sample_posterior: bool = True, rng=None):
+        if sample_posterior:
+            self._deterministic_only("posterior sampling (reconstruct)")
+        return {
+            "reconstruction": self._fns["reconstruct"](
+                self.params, self._cast(pixel_values)
+            )
+        }
+
+
 def main(argv=None) -> int:
     apply_platform_env()
     from ..utils.logging_utils import setup_logging
