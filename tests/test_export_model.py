@@ -115,6 +115,18 @@ def test_server_serves_exported_artifacts(export_dir):
     thread.start()
     try:
         srv.warmup()  # deterministic endpoints only — must not raise
+        # liveness probes must work in exported mode (the wrapper exposes
+        # scaling_factor/latent_shape itself — no model config available)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["scaling_factor"] == manifest["scaling_factor"]
+        assert tuple(srv.latent_shape) == (
+            manifest["latent_resolution"], manifest["latent_resolution"],
+            manifest["latent_channels"],
+        )
         rng = np.random.default_rng(0)
         pixels = rng.uniform(-1, 1, (RES, RES, 3)).astype(np.float32)
         buf = io_mod.BytesIO()

@@ -150,3 +150,43 @@ def test_trainer_accepts_slices_config(tmp_path):
     }
     summary = Trainer(config).train()
     assert summary["global_step"] >= 1
+
+
+def test_slice_device_grouping_validation():
+    """Grouping by slice_index must refuse layouts it cannot align with the
+    DCN boundary: uneven devices per slice (reshape would mix physical
+    slices within a mesh row — ICI-sized traffic over DCN, silently) and
+    partially-tagged device sets. Even groups sort by (slice_index, id)."""
+    from types import SimpleNamespace as Dev
+
+    from vae_channel_dynamics_tpu.parallel.mesh import (
+        _order_devices_for_slices,
+    )
+
+    def dev(slice_index, id):
+        return Dev(slice_index=slice_index, id=id)
+
+    # even groups: ordered slice-major, id within
+    devs = [dev(1, 3), dev(0, 2), dev(1, 1), dev(0, 0)]
+    ordered = _order_devices_for_slices(devs, 2)
+    assert [(d.slice_index, d.id) for d in ordered] == [
+        (0, 0), (0, 2), (1, 1), (1, 3),
+    ]
+
+    # untagged (virtual mesh): contiguous grouping, order preserved
+    untagged = [Dev(id=i) for i in range(4)]
+    assert _order_devices_for_slices(untagged, 2) == untagged
+
+    # uneven devices per slice: loud error, not a silent misgrouping
+    uneven = [dev(0, 0), dev(0, 1), dev(0, 2), dev(1, 3)]
+    with pytest.raises(ValueError, match="uneven devices per slice"):
+        _order_devices_for_slices(uneven, 2)
+
+    # mixed tagged/untagged: loud error, not a TypeError from sorted()
+    mixed = [dev(0, 0), dev(None, 1), dev(1, 2), dev(1, 3)]
+    with pytest.raises(ValueError, match="only some devices"):
+        _order_devices_for_slices(mixed, 2)
+
+    # tag count disagreeing with parallel.slices
+    with pytest.raises(ValueError, match="distinct device slice_index"):
+        _order_devices_for_slices(devs, 4)

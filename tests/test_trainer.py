@@ -479,3 +479,79 @@ def test_resume_matches_uninterrupted_run(tmp_path):
     assert losses_b == losses_a
     for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_resume_matches_uninterrupted_run(tmp_path):
+    """Same resume-equivalence guarantee for STREAMING (iterable) datasets.
+
+    Streaming epochs have no knowable length (no ``len``), so the stream
+    position cannot be derived from ``micro_step`` arithmetic — the
+    checkpoint's resume_meta.json sidecar records (epoch, in-epoch batch)
+    and resume consume-skips to exactly that point. Without the sidecar the
+    fallback derivation (micro_step // max_steps_per_epoch_iterable) would
+    restart at epoch 0 and burn a full epoch skipping, replaying different
+    data than the uninterrupted run."""
+    from vae_channel_dynamics_tpu.training.checkpoint import (
+        latest_checkpoint,
+        read_resume_meta,
+    )
+    from vae_channel_dynamics_tpu.models import io as model_io
+
+    def make_cfg(name, stop_after=0):
+        return {
+            "run_name": name,
+            "output_dir": str(tmp_path),
+            "seed": 7,
+            "model": {"pretrained_vae_name": None, "architecture": "tiny"},
+            "data": {
+                "dataset_name": "synthetic://shapes?num_samples=32",
+                "streaming": True,  # iterable: 4 batches/epoch, no len()
+                "resolution": 32,
+                "batch_size": 1,
+                "do_validation": False,
+            },
+            "training": {
+                "num_train_epochs": 2,
+                "learning_rate": 1e-4,
+                "kl_weight": 1e-6,
+                "lr_warmup_steps": 2,
+                "mixed_precision": "no",
+                "stop_after_steps": stop_after,  # mid-epoch-1 interrupt
+            },
+            "logging": {"log_interval": 1, "report_to": "jsonl"},
+            "saving": {"save_interval_steps": 1000, "async_save": False},
+        }
+
+    def losses_of(name):
+        out = {}
+        for line in open(os.path.join(str(tmp_path), name, "metrics.jsonl")):
+            rec = json.loads(line)
+            if "train_loss_step" in rec:
+                out[rec["step"]] = rec["train_loss_step"]
+        return out
+
+    summary_a = Trainer(make_cfg("stream_oracle")).train()
+    losses_a = losses_of("stream_oracle")
+    assert set(losses_a) == set(range(1, 9))  # 2 epochs x 4 streamed batches
+
+    Trainer(make_cfg("stream_resumed", stop_after=6)).train()
+    ckpt = latest_checkpoint(os.path.join(str(tmp_path), "stream_resumed"))
+    assert ckpt and ckpt.endswith("chkpt-6")
+    meta = read_resume_meta(ckpt)
+    assert meta == {
+        "micro_step": 6, "global_step": 6, "epoch": 1, "in_epoch_batches": 2,
+    }
+    summary_b = Trainer(make_cfg("stream_resumed"), resume_from=ckpt).train()
+    assert losses_of("stream_resumed") == losses_a
+
+    def final_params(summary):
+        _, params = model_io.load_model_dir(
+            os.path.join(summary["final_model_dir"], "vae")
+        )
+        return params
+
+    for a, b in zip(
+        jax.tree.leaves(final_params(summary_a)),
+        jax.tree.leaves(final_params(summary_b)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -178,6 +178,21 @@ class IterableTransformedDataset:
                 logger.warning("Dropping bad streamed record: %s", e)
 
 
+class StreamingView:
+    """Iterable (no-``__len__``) view of a map-style dataset, in index
+    order. Gives ``data.streaming: true`` a deterministic offline stand-in
+    for ``synthetic://`` names, so the trainer's streaming code paths —
+    unknown epoch length, consume-skip resume — are exercisable without
+    network access (HF streaming datasets hit the identical paths)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __iter__(self):
+        for i in range(len(self.dataset)):
+            yield self.dataset[i]
+
+
 class TarShardSource:
     """Map-style source over WebDataset-style tar shards.
 
@@ -369,6 +384,8 @@ def _resolve_dataset(
             "Synthetic dataset '%s': %d samples @%dpx (%s split)",
             syn["kind"], len(ds), resolution, split,
         )
+        if streaming:
+            return StreamingView(ds)
         return ds
 
     transform = get_transform(resolution)
@@ -485,7 +502,14 @@ class DataLoader:
 
     @property
     def is_iterable(self) -> bool:
-        return not hasattr(self.dataset, "__len__")
+        # probe by calling len, not hasattr: wrapper datasets (e.g. the
+        # uint8-transfer view) define __len__ that delegates to an inner
+        # dataset which may itself be iterable-only
+        try:
+            len(self.dataset)
+            return False
+        except TypeError:
+            return True
 
     def __len__(self) -> int:
         if self.is_iterable:

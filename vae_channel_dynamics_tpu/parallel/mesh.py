@@ -43,6 +43,41 @@ def initialize_distributed() -> None:
         )
 
 
+def _order_devices_for_slices(devices, slices: int):
+    """Order ``devices`` so reshape(slices, -1) puts each physical slice in
+    its own mesh row (the ``slice`` axis must match the DCN boundary —
+    that alignment is the entire point of the hierarchical layout).
+
+    Real multi-slice runtimes tag devices with ``slice_index``; group by it
+    and REFUSE any layout where the tags can't be partitioned evenly: a
+    silent misgrouping would route ICI-sized gradient traffic over DCN,
+    which is a performance cliff, not an error the user would ever see.
+    Untagged devices (virtual meshes, single slice) keep their given order
+    and are grouped contiguously."""
+    idx = {getattr(d, "slice_index", None) for d in devices}
+    if len(idx) <= 1:
+        return devices  # untagged or single physical slice: contiguous rows
+    if None in idx:
+        raise ValueError(
+            "parallel.slices>1 but only some devices report a slice_index; "
+            "cannot align the slice axis with the DCN boundary"
+        )
+    if len(idx) != slices:
+        raise ValueError(
+            f"parallel.slices={slices} but the runtime reports "
+            f"{len(idx)} distinct device slice_index values"
+        )
+    counts: Dict[Any, int] = {}
+    for d in devices:
+        counts[d.slice_index] = counts.get(d.slice_index, 0) + 1
+    if len(set(counts.values())) != 1:
+        raise ValueError(
+            "uneven devices per slice_index (reshape would mix physical "
+            f"slices within a mesh row): {counts}"
+        )
+    return sorted(devices, key=lambda d: (d.slice_index, d.id))
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_name: str = DATA_AXIS,
@@ -78,18 +113,7 @@ def make_mesh(
             raise ValueError(
                 f"{len(devices)} devices not divisible by slices={slices}"
             )
-        # Real multi-slice runtimes tag devices with slice_index; group by it
-        # so the mesh's slice axis matches the physical DCN boundary.
-        idx = {getattr(d, "slice_index", None) for d in devices}
-        if len(idx) > 1:
-            if len(idx) != slices:
-                raise ValueError(
-                    f"parallel.slices={slices} but the runtime reports "
-                    f"{len(idx)} distinct device slice_index values"
-                )
-            devices = sorted(
-                devices, key=lambda d: (d.slice_index, d.id)
-            )
+        devices = _order_devices_for_slices(devices, slices)
     if spatial > 1 and len(devices) % (spatial * slices) != 0:
         raise ValueError(
             f"{len(devices)} devices not divisible by "

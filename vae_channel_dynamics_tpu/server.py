@@ -217,13 +217,19 @@ class VAEServer:
         self.read_timeout_s = float(read_timeout_s)
         # the one latent shape /decode compiles for: rejecting everything
         # else keeps the 'one XLA program per endpoint' contract (a novel
-        # shape would otherwise stall the worker on a fresh ~30s compile)
-        cfg = wrapper.config
-        down = 2 ** (len(cfg.block_out_channels) - 1)
-        self.latent_shape = (
-            self.resolution // down, self.resolution // down,
-            int(cfg.latent_channels),
-        )
+        # shape would otherwise stall the worker on a fresh ~30s compile).
+        # Exported-artifact wrappers carry the latent geometry explicitly
+        # (from the manifest); live wrappers derive it from the model config.
+        latent_shape = getattr(wrapper, "latent_shape", None)
+        if latent_shape is not None:
+            self.latent_shape = tuple(int(v) for v in latent_shape)
+        else:
+            cfg = wrapper.config
+            down = 2 ** (len(cfg.block_out_channels) - 1)
+            self.latent_shape = (
+                self.resolution // down, self.resolution // down,
+                int(cfg.latent_channels),
+            )
         self.transform = get_transform(self.resolution)
         self.platform = jax.devices()[0].platform
         self._jax = jax

@@ -181,7 +181,8 @@ def load_exported(path: str) -> Dict[str, Callable]:
 class ExportedVAEWrapper:
     """Serve the pinned StableHLO artifacts through the wrapper protocol
     the serving daemon consumes (``encode``/``decode``/``forward`` plus the
-    ``config``/``params`` attributes it reads).
+    ``params``/``resolution``/``scaling_factor``/``latent_shape``
+    attributes it reads).
 
     This is the deployment mode of ``server.py --exported_dir``: the device
     programs are the serialized artifacts — the exact HLO that was
@@ -193,18 +194,6 @@ class ExportedVAEWrapper:
     artifact's contract.
     """
 
-    class _ArtifactConfig:
-        """Only what the daemon reads: the downsample depth (via
-        ``len(block_out_channels)``) and the latent channel count. Channel
-        WIDTHS are not in the manifest and are deliberately zeroed — any
-        consumer that needs real widths should load the model dir."""
-
-        def __init__(self, manifest: Dict[str, Any]):
-            down = manifest["resolution"] // manifest["latent_resolution"]
-            self.block_out_channels = (0,) * down.bit_length()
-            self.latent_channels = int(manifest["latent_channels"])
-            self.scaling_factor = float(manifest["scaling_factor"])
-
     def __init__(self, export_dir: str, params: Dict[str, Any]):
         import jax.numpy as jnp
 
@@ -212,8 +201,15 @@ class ExportedVAEWrapper:
             self.manifest = json.load(f)
         self._fns = load_exported(export_dir)
         self.params = params
-        self.config = self._ArtifactConfig(self.manifest)
         self.resolution = int(self.manifest["resolution"])
+        self.scaling_factor = float(self.manifest["scaling_factor"])
+        # the latent geometry is explicit in the manifest — consumers (the
+        # serving daemon's /decode shape guard) read it directly instead of
+        # re-deriving it from a model config the artifact doesn't carry
+        latent_res = int(self.manifest["latent_resolution"])
+        self.latent_shape = (
+            latent_res, latent_res, int(self.manifest["latent_channels"])
+        )
         self._dtype = (
             jnp.bfloat16
             if self.manifest["dtype"] == "bfloat16"

@@ -9,10 +9,11 @@ resume does not exist there (SURVEY.md §5). Here both roles are covered:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import threading
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,7 @@ import orbax.checkpoint as ocp
 logger = logging.getLogger(__name__)
 
 STATE_SUBDIR = "state"
+RESUME_META = "resume_meta.json"
 
 
 class AsyncSaver:
@@ -42,7 +44,9 @@ class AsyncSaver:
         self._thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
 
-    def save(self, path: str, state: Any, on_complete=None) -> None:
+    def save(
+        self, path: str, state: Any, on_complete=None, meta=None
+    ) -> None:
         """``on_complete`` (e.g. checkpoint pruning) runs in the writer
         thread AFTER the checkpoint lands — pruning from the dispatching
         thread would list the directory before the new checkpoint exists
@@ -54,7 +58,7 @@ class AsyncSaver:
 
         def _write() -> None:
             try:
-                save_train_state(path, snapshot)
+                save_train_state(path, snapshot, meta=meta)
                 if on_complete is not None:
                     on_complete()
             except BaseException as e:  # noqa: BLE001 — surfaced on wait()
@@ -74,8 +78,16 @@ class AsyncSaver:
             raise error
 
 
-def save_train_state(path: str, state: Any) -> None:
-    """Write the state pytree under ``path``/state (overwrites)."""
+def save_train_state(path: str, state: Any, meta: Optional[Dict] = None) -> None:
+    """Write the state pytree under ``path``/state (overwrites).
+
+    ``meta`` (optional) is a small JSON sidecar (``resume_meta.json``)
+    recording the data-stream position — epoch and in-epoch batch count —
+    so resume can re-place the stream EXACTLY instead of deriving the
+    position from ``micro_step // batches_per_epoch``. The derivation is
+    only correct when every epoch has a knowable, constant length; for
+    streaming datasets (no ``len``) the epoch length is whatever the
+    stream yielded, which the sidecar records and arithmetic cannot."""
     target = os.path.join(os.path.abspath(path), STATE_SUBDIR)
     if os.path.exists(target):
         import shutil
@@ -83,7 +95,21 @@ def save_train_state(path: str, state: Any) -> None:
         shutil.rmtree(target)
     with ocp.StandardCheckpointer() as ck:
         ck.save(target, jax.device_get(state))
+    if meta is not None:
+        with open(
+            os.path.join(os.path.abspath(path), RESUME_META), "w"
+        ) as f:
+            json.dump(meta, f)
     logger.info("Saved train state to %s", target)
+
+
+def read_resume_meta(path: str) -> Optional[Dict]:
+    """The ``resume_meta.json`` sidecar of a checkpoint dir, or None."""
+    p = os.path.join(os.path.abspath(path), RESUME_META)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def restore_train_state(path: str, template: Any) -> Any:

@@ -54,6 +54,7 @@ from ..utils.reporting import build_reporter
 from .checkpoint import (
     AsyncSaver,
     prune_checkpoints,
+    read_resume_meta,
     restore_train_state,
     save_train_state,
 )
@@ -144,6 +145,18 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def train(self) -> Dict[str, Any]:
+        try:
+            return self._train_impl()
+        finally:
+            # kernel_impl='fused' on a mesh installs a module-global shard
+            # mesh for the Pallas kernels (see below); clear it so a model
+            # built later in the same process (embedded use, tests) doesn't
+            # get shard_map-wrapped over this run's stale mesh.
+            from ..ops import pallas_resnet
+
+            pallas_resnet.set_shard_mesh(None)
+
+    def _train_impl(self) -> Dict[str, Any]:
         config = self.config
         initialize_distributed()
         is_main = jax.process_index() == 0
@@ -225,6 +238,7 @@ class Trainer:
             resolution=resolution,
             max_samples=dc.get("max_samples"),
             split=dc.get("train_split_name", "train"),
+            streaming=bool(dc.get("streaming", False)),
             seed=seed,
             transfer_dtype=dc.get("transfer_dtype", "float32"),
         )
@@ -550,22 +564,45 @@ class Trainer:
 
         # Resume fast-forward: place the data stream where the checkpoint
         # left off (the reference has no resume at all; restarting at epoch 0
-        # would replay early-epoch data and break run-equivalence). Exact for
-        # map-style datasets (per-epoch seeded shuffle); for streaming
-        # datasets this linearly consumes skipped records, same as any
-        # restarted stream. Micro-batches per epoch come from the loader's
-        # real length when it has one — `steps_per_epoch * accum` rounds up
-        # and would misplace the stream whenever accum doesn't divide the
-        # epoch's batch count.
-        try:
-            micro_per_epoch = len(train_loader)
-        except TypeError:
-            micro_per_epoch = steps_per_epoch * accum
-        if batches_per_epoch_cap is not None:
-            micro_per_epoch = min(micro_per_epoch, batches_per_epoch_cap)
-        micro_per_epoch = max(1, micro_per_epoch)
-        start_epoch = min(micro_step // micro_per_epoch, num_train_epochs)
-        resume_skip_batches = micro_step % micro_per_epoch
+        # would replay early-epoch data and break run-equivalence). The
+        # checkpoint's resume_meta.json sidecar records the exact stream
+        # position (epoch, in-epoch batch count); the arithmetic fallback
+        # below covers sidecar-less checkpoints, and is exact only when
+        # every epoch has a knowable constant length — for single-host
+        # STREAMING datasets the epoch length is whatever the stream
+        # yielded, which no derivation from micro_step can recover (the
+        # sidecar exists precisely for that case). Exact for map-style
+        # datasets (per-epoch seeded shuffle); streaming datasets
+        # consume-skip linearly, same as any restarted stream.
+        resume_meta = (
+            read_resume_meta(self.resume_from) if self.resume_from else None
+        )
+        if (
+            resume_meta is not None
+            and int(resume_meta.get("micro_step", -1)) == micro_step
+        ):
+            start_epoch = min(int(resume_meta["epoch"]), num_train_epochs)
+            resume_skip_batches = int(resume_meta["in_epoch_batches"])
+        else:
+            if micro_step > 0 and self.resume_from:
+                logger.warning(
+                    "Checkpoint has no (matching) resume_meta.json sidecar; "
+                    "deriving the stream position from micro_step — exact "
+                    "for map-style datasets, approximate for streaming ones."
+                )
+            # Micro-batches per epoch come from the loader's real length
+            # when it has one — `steps_per_epoch * accum` rounds up and
+            # would misplace the stream whenever accum doesn't divide the
+            # epoch's batch count.
+            try:
+                micro_per_epoch = len(train_loader)
+            except TypeError:
+                micro_per_epoch = steps_per_epoch * accum
+            if batches_per_epoch_cap is not None:
+                micro_per_epoch = min(micro_per_epoch, batches_per_epoch_cap)
+            micro_per_epoch = max(1, micro_per_epoch)
+            start_epoch = min(micro_step // micro_per_epoch, num_train_epochs)
+            resume_skip_batches = micro_step % micro_per_epoch
         if micro_step > 0:
             logger.info(
                 "Resume fast-forward: starting at epoch %d, skipping %d "
@@ -595,6 +632,21 @@ class Trainer:
                 return host[-1]
 
             train_loader.set_epoch(epoch)
+            # in-epoch micro-batch position, persisted in every checkpoint's
+            # resume_meta.json so resume re-places the stream exactly (the
+            # count includes batches consumed by the fast-forward skip)
+            in_epoch_micro = (
+                resume_skip_batches if epoch == start_epoch else 0
+            )
+
+            def _resume_meta():
+                return {
+                    "micro_step": micro_step,
+                    "global_step": global_step,
+                    "epoch": epoch,
+                    "in_epoch_batches": in_epoch_micro,
+                }
+
             train_batches = _prepared_batches(
                 train_loader,
                 skip=resume_skip_batches if epoch == start_epoch else 0,
@@ -603,6 +655,7 @@ class Trainer:
                 images_seen += n_valid
 
                 micro_step += 1
+                in_epoch_micro += 1
                 is_update = micro_step % accum == 0
                 next_global = global_step + 1 if is_update else global_step
                 want_maps = (
@@ -769,21 +822,36 @@ class Trainer:
                         # pruning here would list the dir before the new
                         # checkpoint exists (keep_last_n would transiently
                         # hold n+1 and lag one save behind)
-                        ckpt_saver.save(ckpt_path, state, on_complete=_prune)
+                        ckpt_saver.save(
+                            ckpt_path, state, on_complete=_prune,
+                            meta=_resume_meta(),
+                        )
                     else:
-                        save_train_state(ckpt_path, state)
+                        save_train_state(ckpt_path, state, meta=_resume_meta())
                         _prune()
 
                 # --- preemption-safe exit (no reference equivalent) ---
                 # Multi-host runs must agree on stopping (the step is a
-                # collective), so the flag is only consulted at log-interval
+                # collective). The SIGTERM flag is asynchronous — it may hit
+                # only some processes — so it is consulted at log-interval
                 # boundaries there and OR-reduced across processes; a single
                 # host checks every step for the fastest reaction.
-                if stop_after_steps > 0 and global_step >= stop_after_steps:
+                # stop_after_steps is DETERMINISTIC (every process computes
+                # the same predicate at the same step), so it stops exactly
+                # at step N with no collective agreement needed — gating it
+                # on log_interval would overshoot to the next multiple.
+                deterministic_stop = (
+                    stop_after_steps > 0 and global_step >= stop_after_steps
+                )
+                if deterministic_stop:
                     preempt_flag["hit"] = True
-                if process_count == 1 or global_step % log_interval == 0:
+                if (
+                    process_count == 1
+                    or deterministic_stop
+                    or global_step % log_interval == 0
+                ):
                     stop_now = preempt_flag["hit"]
-                    if process_count > 1:
+                    if process_count > 1 and not deterministic_stop:
                         from jax.experimental import multihost_utils
 
                         stop_now = bool(
@@ -801,6 +869,7 @@ class Trainer:
                                     f"{checkpoint_prefix}-{global_step}",
                                 ),
                                 state,
+                                meta=_resume_meta(),
                             )
                         logger.warning(
                             "Preemption checkpoint written at step %d; "
