@@ -195,12 +195,18 @@ class ExportedVAEWrapper:
     """
 
     def __init__(self, export_dir: str, params: Dict[str, Any]):
+        import jax
         import jax.numpy as jnp
 
         with open(os.path.join(export_dir, _MANIFEST)) as f:
             self.manifest = json.load(f)
         self._fns = load_exported(export_dir)
-        self.params = params
+        # place params on device ONCE — same fix as SDXLVAEWrapper: params
+        # loaded from disk are host numpy arrays, and without this every
+        # exported call re-uploads all 335 MB (measured 13.5 s/request vs
+        # 0.23 s through the tunnel — the identical 35x bug PERF.md
+        # documents for the live serving path)
+        self.params = jax.device_put(params)
         self.resolution = int(self.manifest["resolution"])
         self.scaling_factor = float(self.manifest["scaling_factor"])
         # the latent geometry is explicit in the manifest — consumers (the
