@@ -218,3 +218,20 @@ def test_serving_bench_tool_against_live_server():
         assert proc.returncode == 0
     finally:
         srv.shutdown()
+
+
+def test_pyproject_entry_points_resolve():
+    """Packaging contract: every console script in pyproject.toml points at
+    an importable callable, and the version matches the package's."""
+    import importlib
+    import tomllib
+
+    import vae_channel_dynamics_tpu as pkg
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        cfg = tomllib.load(f)
+    assert cfg["project"]["version"] == pkg.__version__
+    for target in cfg["project"]["scripts"].values():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), target
