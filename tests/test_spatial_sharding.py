@@ -111,3 +111,77 @@ def test_trainer_with_spatial_config(tmp_path):
         / "vae"
         / "diffusion_pytorch_model.safetensors"
     ).exists()
+
+
+@pytest.mark.slow
+def test_chunked_attention_under_spatial_mesh():
+    """The recommended 1024px multi-chip configuration — spatial (H)
+    sharding + chunked (online-softmax) mid-block attention — must compose.
+
+    At 128px the tiny config's mid block attends over 64x64 = 4096 tokens
+    = 4 scan chunks, so this exercises the multi-chunk lax.scan under
+    GSPMD. Pinned here (measured on the 8-device mesh): the loss matches
+    the naive-attention data-parallel oracle exactly; the compiled program
+    still halo-exchanges the convs (collective-permute present — H stays
+    sharded through the attention, nothing falls back to replication); and
+    the global attention costs a handful of all-gathers, NOT one per scan
+    chunk (measured: +12 all-gathers vs naive under the same mesh, out of
+    447 collective-permutes / 417 all-reduces — at 1024px the gathered
+    K/V is ~16 MB/image against ~27 ms/image of compute)."""
+    import re
+
+    import jax.numpy as jnp
+
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.parallel.mesh import replicated_sharding
+    from vae_channel_dynamics_tpu.training import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+
+    cfg = VAEConfig.tiny()
+    res = 128
+    batch = {
+        "pixel_values": np.random.default_rng(0)
+        .uniform(-1, 1, (8, res, res, 3))
+        .astype(np.float32)
+    }
+    mask = np.ones(8, np.float32)
+    rng = jax.random.PRNGKey(5)
+
+    def run(impl, mesh, want_hlo=False):
+        module = AutoencoderKL(config=cfg, attn_impl=impl)
+        params = module.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, res, res, 3)),
+            sample_posterior=False,
+        )["params"]
+        tx, _ = build_optimizer(1e-3, 0, 100)
+        state = jax.device_put(
+            TrainState.create(params, tx), replicated_sharding(mesh)
+        )
+        step = make_train_step(module, tx, 1e-6, mesh=mesh, donate=False)
+        hlo = None
+        if want_hlo:
+            hlo = (
+                jax.jit(lambda s, b, m, r: step(s, b, m, r))
+                .lower(state, batch, mask, rng)
+                .compile()
+                .as_text()
+            )
+        _, metrics, _ = step(state, batch, mask, rng)
+        return float(metrics["train_loss_step"]), hlo
+
+    oracle, _ = run("naive", make_mesh(8))
+    sp_mesh = make_mesh(8, spatial=2)
+    loss, hlo = run("chunked", sp_mesh, want_hlo=True)
+    np.testing.assert_allclose(loss, oracle, rtol=2e-4)
+
+    n_permute = len(re.findall(r"\bcollective-permute\b", hlo))
+    n_gather = len(re.findall(r"\ball-gather\b", hlo))
+    assert n_permute > 100, f"convs no longer halo-exchanged ({n_permute})"
+    assert n_gather < 50, (
+        f"attention all-gathers exploded ({n_gather}) — the scan is "
+        "gathering per chunk instead of once"
+    )
