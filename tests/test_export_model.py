@@ -174,3 +174,24 @@ def test_server_serves_exported_artifacts(export_dir):
         assert "deterministic" in exc.value.read().decode()
     finally:
         srv.shutdown()
+
+
+def test_exported_wrapper_refuses_mesh_serving(export_dir):
+    """Deserialized artifacts carry single-device programs GSPMD cannot
+    repartition; VAEServer itself must enforce that (supports_mesh=False) —
+    the default multi-device auto-mesh must not engage, and an explicit
+    use_mesh=True must fail loudly at construction, not at runtime."""
+    from vae_channel_dynamics_tpu.server import VAEServer
+    from vae_channel_dynamics_tpu.tools.export_model import ExportedVAEWrapper
+
+    wrapper, dst, _ = export_dir
+    adapter = ExportedVAEWrapper(dst, wrapper.params)
+    assert adapter.supports_mesh is False
+
+    # default construction on this 8-virtual-device host: mesh stays off
+    srv = VAEServer(adapter, resolution=RES, max_batch=2, port=0)
+    assert srv.mesh is None
+    srv.httpd.server_close()
+
+    with pytest.raises(ValueError, match="use_mesh"):
+        VAEServer(adapter, resolution=RES, max_batch=2, port=0, use_mesh=True)

@@ -169,3 +169,35 @@ def test_async_save_prunes_after_checkpoint_lands(tmp_path):
     saver.wait()
     names = sorted(n for n in os.listdir(tmp_path) if n.startswith("chkpt-"))
     assert names == ["chkpt-2", "chkpt-3"], names
+
+
+def test_resume_meta_sidecar_tolerates_corruption(tmp_path):
+    """A truncated/garbage/schema-less sidecar must degrade to None (the
+    arithmetic fallback), never block resume: the kill-mid-write window is
+    exactly the preemption scenario the sidecar exists to survive. Writes
+    are atomic (tmp+rename), so this only happens with external damage —
+    but a checkpoint that cannot be resumed is the worst failure mode."""
+    import json as json_mod
+
+    from vae_channel_dynamics_tpu.training.checkpoint import (
+        RESUME_META,
+        read_resume_meta,
+    )
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    assert read_resume_meta(str(d)) is None  # missing: fine
+
+    (d / RESUME_META).write_text("")  # truncated (empty)
+    assert read_resume_meta(str(d)) is None
+
+    (d / RESUME_META).write_text("{not json")
+    assert read_resume_meta(str(d)) is None
+
+    (d / RESUME_META).write_text(json_mod.dumps({"micro_step": 3}))
+    assert read_resume_meta(str(d)) is None  # schema-less: fallback
+
+    good = {"micro_step": 3, "global_step": 3, "epoch": 0,
+            "in_epoch_batches": 3}
+    (d / RESUME_META).write_text(json_mod.dumps(good))
+    assert read_resume_meta(str(d)) == good

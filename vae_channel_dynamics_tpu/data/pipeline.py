@@ -337,6 +337,19 @@ def load_and_preprocess_dataset(
         cache_dir=cache_dir,
         seed=seed,
     )
+    if streaming:
+        # honor data.streaming for EVERY source kind: HF streaming loads
+        # are natively iterable, but synthetic://, image folders, tar
+        # shards, and the offline synthetic fallback resolve map-style —
+        # wrap those in the iterable view so a streaming config actually
+        # exercises streaming semantics (unknown epoch length,
+        # consume-skip resume) instead of silently training map-style
+        try:
+            len(ds)
+        except TypeError:
+            pass
+        else:
+            ds = StreamingView(ds)
     if transfer_dtype in ("uint8", "u8"):
         return QuantizedUint8Dataset(ds)
     if transfer_dtype not in ("float32", "f32", None, ""):
@@ -384,8 +397,6 @@ def _resolve_dataset(
             "Synthetic dataset '%s': %d samples @%dpx (%s split)",
             syn["kind"], len(ds), resolution, split,
         )
-        if streaming:
-            return StreamingView(ds)
         return ds
 
     transform = get_transform(resolution)
@@ -557,7 +568,10 @@ class DataLoader:
         return {"pixel_values": batch}
 
     def _iter_streaming(self) -> Iterator[Optional[Dict[str, np.ndarray]]]:
-        if self.shuffle:
+        if self.shuffle and not getattr(self, "_warned_shuffle", False):
+            # once per loader, not once per epoch: the trainer always
+            # requests shuffle and streaming epochs are many
+            self._warned_shuffle = True
             logger.warning("Shuffle has no effect for streaming datasets.")
         buf: List[Dict[str, np.ndarray]] = []
         for i, item in enumerate(self.dataset):

@@ -235,9 +235,21 @@ class VAEServer:
         self._jax = jax
         # multi-device hosts shard the padded batch over a data mesh by
         # default (GSPMD partitions the wrapper's jitted calls); max_batch
-        # rounds up to a device multiple so the static shape divides evenly
+        # rounds up to a device multiple so the static shape divides evenly.
+        # Wrappers that cannot be repartitioned — deserialized StableHLO
+        # artifacts carry their own single-device programs — declare
+        # supports_mesh=False and are never mesh-served, regardless of how
+        # the server is constructed.
         n_dev = len(jax.devices())
         self.mesh = None
+        if not getattr(wrapper, "supports_mesh", True):
+            if use_mesh:
+                raise ValueError(
+                    "use_mesh=True is incompatible with this wrapper "
+                    "(exported artifacts run their pinned single-device "
+                    "programs; serve the live model for mesh serving)"
+                )
+            use_mesh = False
         if (use_mesh is None and n_dev > 1) or use_mesh:
             from .parallel import make_mesh
             from .parallel.mesh import batch_sharding, replicated_sharding
@@ -592,10 +604,8 @@ def main(argv=None) -> int:
                 "not --resolution %d.", wrapper.resolution, args.resolution,
             )
         resolution = wrapper.resolution
-        # exported programs carry their own (single-device) shardings;
-        # GSPMD cannot repartition a deserialized call, so mesh serving
-        # stays a live-model feature
-        use_mesh = False
+        # mesh serving is refused by VAEServer itself for this wrapper
+        # (supports_mesh=False: deserialized calls can't be repartitioned)
     else:
         wrapper = SDXLVAEWrapper(
             config=config, params=params, dtype=jnp.bfloat16,

@@ -194,6 +194,11 @@ class ExportedVAEWrapper:
     artifact's contract.
     """
 
+    # deserialized exported calls carry their own (single-device)
+    # shardings; GSPMD cannot repartition them — VAEServer reads this and
+    # refuses mesh serving for this wrapper
+    supports_mesh = False
+
     def __init__(self, export_dir: str, params: Dict[str, Any]):
         import jax
         import jax.numpy as jnp

@@ -96,20 +96,40 @@ def save_train_state(path: str, state: Any, meta: Optional[Dict] = None) -> None
     with ocp.StandardCheckpointer() as ck:
         ck.save(target, jax.device_get(state))
     if meta is not None:
-        with open(
-            os.path.join(os.path.abspath(path), RESUME_META), "w"
-        ) as f:
+        # atomic write (tmp + rename): a preemption mid-write must not
+        # leave a truncated sidecar — the kill window is exactly the
+        # scenario the sidecar exists to survive
+        final = os.path.join(os.path.abspath(path), RESUME_META)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, final)
     logger.info("Saved train state to %s", target)
 
 
 def read_resume_meta(path: str) -> Optional[Dict]:
-    """The ``resume_meta.json`` sidecar of a checkpoint dir, or None."""
+    """The ``resume_meta.json`` sidecar of a checkpoint dir, or None.
+
+    Tolerant by design: a missing, truncated, or schema-less sidecar
+    returns None (with a warning) so resume falls back to the arithmetic
+    derivation instead of refusing to start."""
     p = os.path.join(os.path.abspath(path), RESUME_META)
     if not os.path.isfile(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            meta = json.load(f)
+        if not all(
+            k in meta for k in ("micro_step", "epoch", "in_epoch_batches")
+        ):
+            raise ValueError(f"missing keys in {sorted(meta)}")
+        return meta
+    except (ValueError, OSError) as e:  # ValueError covers JSONDecodeError
+        logger.warning(
+            "Ignoring unreadable resume sidecar %s (%s); falling back to "
+            "derived stream position.", p, e,
+        )
+        return None
 
 
 def restore_train_state(path: str, template: Any) -> Any:

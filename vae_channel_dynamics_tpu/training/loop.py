@@ -145,16 +145,20 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def train(self) -> Dict[str, Any]:
+        self._installed_shard_mesh = False
         try:
             return self._train_impl()
         finally:
             # kernel_impl='fused' on a mesh installs a module-global shard
             # mesh for the Pallas kernels (see below); clear it so a model
             # built later in the same process (embedded use, tests) doesn't
-            # get shard_map-wrapped over this run's stale mesh.
-            from ..ops import pallas_resnet
+            # get shard_map-wrapped over this run's stale mesh. Scoped to
+            # THIS trainer's install — a run that never set the global must
+            # not reset one installed by the embedding application.
+            if self._installed_shard_mesh:
+                from ..ops import pallas_resnet
 
-            pallas_resnet.set_shard_mesh(None)
+                pallas_resnet.set_shard_mesh(None)
 
     def _train_impl(self) -> Dict[str, Any]:
         config = self.config
@@ -208,6 +212,7 @@ class Trainer:
                 # mesh so the fused kernels run per-shard via shard_map on
                 # each device's local batch block (params replicated)
                 pallas_resnet.set_shard_mesh(mesh)
+                self._installed_shard_mesh = True
                 logger.info(
                     "model.kernel_impl='fused' on a %d-device data mesh: "
                     "kernels run per-shard via shard_map.", mesh.size,
@@ -609,6 +614,21 @@ class Trainer:
                 "already-consumed batches.", start_epoch, resume_skip_batches,
             )
 
+        # Stream position for checkpoint sidecars. Initialized here so the
+        # final checkpoint has a valid position even when the epoch loop
+        # body never runs (e.g. resuming a completed run unchanged); the
+        # closure reads the loop's live values at save time.
+        epoch = start_epoch
+        in_epoch_micro = resume_skip_batches
+
+        def _resume_meta():
+            return {
+                "micro_step": micro_step,
+                "global_step": global_step,
+                "epoch": epoch,
+                "in_epoch_batches": in_epoch_micro,
+            }
+
         for epoch in range(start_epoch, num_train_epochs):
             # Epoch averages accumulate as host floats, drained from a small
             # on-device buffer at log intervals (the fetch there is already a
@@ -638,14 +658,6 @@ class Trainer:
             in_epoch_micro = (
                 resume_skip_batches if epoch == start_epoch else 0
             )
-
-            def _resume_meta():
-                return {
-                    "micro_step": micro_step,
-                    "global_step": global_step,
-                    "epoch": epoch,
-                    "in_epoch_batches": in_epoch_micro,
-                }
 
             train_batches = _prepared_batches(
                 train_loader,
@@ -949,7 +961,7 @@ class Trainer:
 
         summary = self._finalize(
             state, vae_config, monitor, dead_tracker, handler,
-            is_main, reporter,
+            is_main, reporter, final_meta=_resume_meta(),
         )
         summary.update(
             global_step=global_step,
@@ -999,17 +1011,22 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _finalize(
         self, state, vae_config, monitor, dead_tracker, handler,
-        is_main, reporter,
+        is_main, reporter, final_meta=None,
     ) -> Dict[str, Any]:
         """Final artifacts (src/train.py:392-461): final_model/ (resumable
         state) + final_model/vae/ (the dir evaluate loads), activation-stats
-        CSV, dead-weight plots, activity plots, dead-vs-nudge plot."""
+        CSV, dead-weight plots, activity plots, dead-vs-nudge plot.
+
+        ``final_meta`` is the stream-position sidecar for final_model —
+        without it, continuing a STREAMING run from final_model (e.g. with
+        num_train_epochs raised) would fall back to the arithmetic stream
+        placement, which is wrong for streaming data."""
         summary: Dict[str, Any] = {}
         if not is_main:
             return summary
         final_dir = os.path.join(self.output_dir, "final_model")
         os.makedirs(final_dir, exist_ok=True)
-        save_train_state(final_dir, state)
+        save_train_state(final_dir, state, meta=final_meta)
         vae_dir = os.path.join(final_dir, "vae")
         model_io.save_model_dir(
             vae_dir, vae_config, jax.device_get(state.params)
