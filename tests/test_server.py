@@ -456,3 +456,63 @@ def test_stalled_client_is_timed_out_and_does_not_pin_the_server():
         del got
     finally:
         srv.shutdown()
+
+
+def test_graceful_shutdown_drains_inflight_requests():
+    """SIGTERM-path drain (the serving analog of the trainer's preemption
+    handling): a request already queued in the batcher when the drain
+    begins is ANSWERED 200, not failed; once drained the listener is
+    closed and new connections are refused. max_wait_ms is set high so the
+    queued request is still waiting for its batch window when
+    graceful_shutdown starts — the drain must ride it to completion."""
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    srv = VAEServer(
+        wrapper, resolution=RES, max_batch=8, max_wait_ms=1500.0, port=0,
+        use_mesh=False,
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    srv.warmup()
+
+    pixels = np.random.default_rng(0).uniform(
+        -1, 1, (RES, RES, 3)
+    ).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, pixels)
+    body = buf.getvalue()
+
+    outcome = {}
+
+    def client():
+        req = urllib.request.Request(
+            _url(srv, "/reconstruct?format=npy"), data=body, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                outcome["status"] = resp.status
+                outcome["bytes"] = len(resp.read())
+        except Exception as e:  # noqa: BLE001
+            outcome["error"] = repr(e)
+
+    t = threading.Thread(target=client)
+    t.start()
+    # wait until the request is in flight (the worker holds it while the
+    # 1.5s batch window is open), so the drain starts mid-request
+    deadline = time.time() + 10
+    while time.time() < deadline and srv._inflight == 0:
+        time.sleep(0.01)
+    assert srv._inflight == 1, "request never became in-flight"
+    time.sleep(0.3)  # let it pass submit() into the worker's open batch
+
+    srv.graceful_shutdown(timeout=30)
+    t.join(60)
+    assert outcome.get("status") == 200, outcome
+    assert outcome["bytes"] > 0
+
+    # the port is released: a fresh connection must fail fast
+    with pytest.raises(Exception):
+        urllib.request.urlopen(_url(srv, "/healthz"), timeout=2)
+
+    # idempotent
+    srv.graceful_shutdown(timeout=1)
+    srv.shutdown()

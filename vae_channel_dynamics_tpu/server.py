@@ -113,7 +113,10 @@ class MicroBatcher:
         item = _Pending(kind, payload)
         with self._submit_lock:
             if self._stopped:
-                raise RuntimeError("batcher stopped")
+                # BatcherOverloaded (a RuntimeError) so the HTTP layer sheds
+                # with 503 + Retry-After during a graceful drain — the
+                # client retries against a live peer instead of getting 500
+                raise BatcherOverloaded("batcher stopped (shutting down)")
             if self._queue.qsize() >= self.max_queue:
                 self.rejected += 1
                 raise BatcherOverloaded(
@@ -263,6 +266,7 @@ class VAEServer:
         self.started = time.time()
         self.requests = 0
         self.errors = 0
+        self._inflight = 0
         self._latencies: List[float] = []
         self._lock = threading.Lock()
         self.batcher = MicroBatcher(
@@ -291,12 +295,47 @@ class VAEServer:
         self.httpd.serve_forever()
 
     def shutdown(self) -> None:
+        """Fast stop (tests, embedded teardown): close the listener and
+        fail whatever is still queued."""
         if getattr(self, "_shut", False):
             return
         self._shut = True
         self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.close()
+
+    def graceful_shutdown(self, timeout: float = 30.0) -> None:
+        """Drain-and-exit for preemption (SIGTERM on a preemptible VM —
+        the serving analog of the trainer's checkpoint-and-exit): stop
+        accepting new connections, ANSWER every request already accepted
+        or queued (the batcher sentinel lands behind all accepted items,
+        so the worker serves them before stopping; late arrivals shed 503
+        + Retry-After and get retried against a live peer), wait for the
+        in-flight handler threads to finish writing, then release the
+        port. Idempotent, and safe to call from a signal-handler thread."""
+        if getattr(self, "_shut", False):
+            return
+        self._shut = True
+        with self._lock:
+            queued = self.batcher._queue.qsize()
+            inflight = self._inflight
+        logger.info(
+            "Graceful shutdown: %d in-flight request(s), %d queued — "
+            "draining.", inflight, queued,
+        )
+        self.httpd.shutdown()  # stop the accept loop; handlers keep running
+        self.batcher.close()   # answers everything queued, then stops
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._lock:
+                if self._inflight == 0:
+                    break
+            time.sleep(0.02)
+        self.httpd.server_close()
+        logger.info(
+            "Graceful shutdown complete: %d request(s) served in total.",
+            self.requests,
+        )
 
     def warmup(self) -> None:
         """Compile every endpoint's (padded, static-shape) program up front
@@ -423,6 +462,17 @@ class VAEServer:
                     self._send_json(404, {"error": f"no route {path}"})
 
             def do_POST(self):
+                # in-flight census for graceful_shutdown: the drain waits
+                # for handlers that already hold a connection to finish
+                with server._lock:
+                    server._inflight += 1
+                try:
+                    self._do_post()
+                finally:
+                    with server._lock:
+                        server._inflight -= 1
+
+            def _do_post(self):
                 t0 = time.perf_counter()
                 parsed = urlparse(self.path)
                 op = parsed.path.lstrip("/")
@@ -626,8 +676,10 @@ def main(argv=None) -> int:
     import signal
 
     def _graceful(signum, _frame):
-        logger.info("Signal %d: shutting down.", signum)
-        threading.Thread(target=server.shutdown, daemon=True).start()
+        logger.info("Signal %d: draining and shutting down.", signum)
+        threading.Thread(
+            target=server.graceful_shutdown, daemon=True
+        ).start()
 
     try:
         signal.signal(signal.SIGTERM, _graceful)
