@@ -118,16 +118,19 @@ def test_chunked_attention_under_spatial_mesh():
     """The recommended 1024px multi-chip configuration — spatial (H)
     sharding + chunked (online-softmax) mid-block attention — must compose.
 
-    At 128px the tiny config's mid block attends over 64x64 = 4096 tokens
-    = 4 scan chunks, so this exercises the multi-chunk lax.scan under
-    GSPMD. Pinned here (measured on the 8-device mesh): the loss matches
-    the naive-attention data-parallel oracle exactly; the compiled program
-    still halo-exchanges the convs (collective-permute present — H stays
-    sharded through the attention, nothing falls back to replication); and
-    the global attention costs a handful of all-gathers, NOT one per scan
-    chunk (measured: +12 all-gathers vs naive under the same mesh, out of
-    447 collective-permutes / 417 all-reduces — at 1024px the gathered
-    K/V is ~16 MB/image against ~27 ms/image of compute)."""
+    At 80px the tiny config's mid block attends over 40x40 = 1600 tokens
+    = 2 scan chunks (the smallest multi-chunk size — 128px/4 chunks was
+    measured once in PERF.md but its compile is heavy enough to abort the
+    full-suite process under cumulative memory pressure), so this
+    exercises the multi-chunk lax.scan under GSPMD. Pinned here: the loss
+    matches the naive-attention data-parallel oracle exactly; the compiled
+    program still halo-exchanges the convs (collective-permute present —
+    H stays sharded through the attention, nothing falls back to
+    replication); and the global attention costs a handful of all-gathers,
+    NOT one per scan chunk (PERF.md census: +12 all-gathers vs naive under
+    the same mesh, out of 447 collective-permutes / 417 all-reduces — at
+    1024px the gathered K/V is ~16 MB/image against ~27 ms/image of
+    compute)."""
     import re
 
     import jax.numpy as jnp
@@ -141,7 +144,7 @@ def test_chunked_attention_under_spatial_mesh():
     )
 
     cfg = VAEConfig.tiny()
-    res = 128
+    res = 80
     batch = {
         "pixel_values": np.random.default_rng(0)
         .uniform(-1, 1, (8, res, res, 3))
