@@ -264,3 +264,49 @@ def test_uint8_batch_under_mesh_matches_float():
         )
         losses[name] = float(jax.device_get(metrics["train_loss_step"]))
     np.testing.assert_allclose(losses["uint8"], losses["float"], rtol=1e-6)
+
+
+def test_ema_updates_once_per_optimizer_update_under_accumulation():
+    """With gradient_accumulation_steps=k, the EMA must blend ONCE per
+    applied optimizer update, not once per micro-step: blending on no-op
+    micro-steps pulls the EMA toward unchanged params (1-d) at a time,
+    giving an effective decay of d^k and shrinking the configured
+    averaging horizon k-fold."""
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+        sample_posterior=False,
+    )["params"]
+    d = 0.5
+    tx, _ = build_optimizer(1e-3, 0, 100, gradient_accumulation_steps=2)
+    state = TrainState.create(params, tx, ema=True)
+    step = make_train_step(module, tx, 1e-6, donate=False, ema_decay=d)
+    batch, mask = _batch(4, seed=3)
+    rng = jax.random.PRNGKey(2)
+
+    p0 = jax.device_get(state.params)
+    state, _, _ = step(state, batch, mask, rng)  # accumulate: no update
+    # params unchanged, EMA must equal the init (== p0) exactly
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(a, b)
+
+    state, _, _ = step(state, batch, mask, rng)  # boundary: update + blend
+    p1 = jax.device_get(state.params)
+    expected_ema = jax.tree.map(
+        lambda e, p: e * d + p * (1.0 - d), p0, p1
+    )
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.ema_params)),
+                    jax.tree.leaves(expected_ema)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
+
+    state, _, _ = step(state, batch, mask, rng)  # accumulate again: no-op
+    # params unchanged at p1; EMA must NOT have drifted toward p1
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.ema_params)),
+                    jax.tree.leaves(expected_ema)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)

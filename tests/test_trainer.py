@@ -555,3 +555,56 @@ def test_streaming_resume_matches_uninterrupted_run(tmp_path):
         jax.tree.leaves(final_params(summary_b)),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_threads_attention_impl_into_jitted_modules(
+    tmp_path, monkeypatch
+):
+    """model.attention_impl must reach the modules the train/eval steps
+    compile, not just the wrapper: a run configured 'chunked' to avoid the
+    quadratic attention logits buffer must not silently train with the
+    'auto' policy (which picks the naive path at small token counts —
+    precisely the program the knob was set to prevent at 512px+)."""
+    import vae_channel_dynamics_tpu.training.loop as loop_mod
+
+    created = []
+    real = loop_mod.AutoencoderKL
+
+    def spy(*args, **kwargs):
+        created.append(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(loop_mod, "AutoencoderKL", spy)
+    config = {
+        "run_name": "attn_impl_thread",
+        "output_dir": str(tmp_path),
+        "seed": 0,
+        "model": {
+            "pretrained_vae_name": None,
+            "architecture": "tiny",
+            "attention_impl": "chunked",
+        },
+        "data": {
+            "dataset_name": "synthetic://shapes?num_samples=8",
+            "resolution": 16,
+            "batch_size": 1,
+            "do_validation": False,
+        },
+        "training": {"num_train_epochs": 1, "mixed_precision": "no"},
+        "logging": {"log_interval": 1, "report_to": "jsonl"},
+        "saving": {"save_interval_steps": 1000},
+        "tracking": {
+            "enabled": True,
+            "track_interval": 1,
+            "target_layers": [{
+                "name": "vae.encoder.conv_in",
+                "capture_point": "output",
+                "metrics": ["full_activation_map"],
+            }],
+        },
+    }
+    Trainer(config).train()
+    step_modules = [k for k in created if "capture" in k]
+    assert len(step_modules) >= 2  # plain + maps variants both compiled
+    for kwargs in step_modules:
+        assert kwargs.get("attn_impl") == "chunked", kwargs

@@ -213,7 +213,11 @@ def main(argv=None) -> int:
     image_sharding = batch_sharding(mesh)
     mask_sharding = vector_sharding(mesh)
     repl = replicated_sharding(mesh)
-    params = jax.device_put(params, repl)
+    # ONE device-resident parameter copy: re-shard the wrapper's buffers
+    # (placed at construction) and hand them back, instead of device_put-ing
+    # the host copy a second time — 335 MB per extra copy on the SDXL model
+    params = jax.device_put(wrapper.params, repl)
+    wrapper.params = params
 
     @partial(
         jax.jit,
@@ -297,6 +301,10 @@ def main(argv=None) -> int:
                 sample_posterior=False,
             )
             activations = wrapper.get_captured_activations()
+            # quirk parity (SURVEY.md §5a-14): the reference writes
+            # out_{i}.png capped at 10 and OVERWRITES per layer, so only
+            # the last layer's grids survive (src/evaluate.py:272-280) —
+            # reproduced deliberately, not an oversight
             for layer, act in activations.items():
                 for i in range(min(act.shape[0], 10)):
                     _activation_grid_png(

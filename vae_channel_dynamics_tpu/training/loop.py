@@ -390,7 +390,8 @@ class Trainer:
         # ---------------- jitted steps ---------------- #
         module_plain = AutoencoderKL(
             config=vae_config, dtype=dtype, impl=wrapper.impl,
-            remat=wrapper.remat, capture=monitor.scalar_capture_table,
+            attn_impl=wrapper.attn_impl, remat=wrapper.remat,
+            capture=monitor.scalar_capture_table,
         )
         batch_shape = (global_batch, resolution, resolution, vae_config.in_channels)
         stats_acc = monitor.init_acc(module_plain, params, batch_shape)
@@ -415,7 +416,8 @@ class Trainer:
         if monitor.enabled and monitor.map_keys:
             module_maps = AutoencoderKL(
                 config=vae_config, dtype=dtype, impl=wrapper.impl,
-                remat=wrapper.remat, capture=monitor.map_capture_table,
+                attn_impl=wrapper.attn_impl, remat=wrapper.remat,
+                capture=monitor.map_capture_table,
             )
             step_maps = make_train_step(
                 module_maps, tx, self.kl_weight, mesh=mesh,

@@ -174,10 +174,23 @@ def make_train_step(
         ema_params = state.ema_params
         if ema_decay > 0.0 and ema_params is not None:
             d = jnp.asarray(ema_decay, jnp.float32)
-            ema_params = jax.tree.map(
+            blended = jax.tree.map(
                 lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
                 ema_params, params,
             )
+            if hasattr(opt_state, "mini_step"):
+                # gradient accumulation (optax.MultiSteps): blend only on
+                # micro-steps where the optimizer actually applied an
+                # update (mini_step wrapped to 0) — otherwise k-step
+                # accumulation would decay the EMA k times per update
+                # (effective decay d^k, shrinking the averaging horizon)
+                did_update = opt_state.mini_step == 0
+                ema_params = jax.tree.map(
+                    lambda b, e: jnp.where(did_update, b, e),
+                    blended, ema_params,
+                )
+            else:
+                ema_params = blended
 
         new_state = state.replace(
             step=state.step + 1,
