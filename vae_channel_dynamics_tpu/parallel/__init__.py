@@ -5,3 +5,4 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .zero import opt_state_shardings, state_shardings

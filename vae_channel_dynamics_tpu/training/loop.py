@@ -406,11 +406,37 @@ class Trainer:
             state = restore_train_state(self.resume_from, state)
             logger.info("Resumed from %s at step %d", self.resume_from, int(state.step))
         repl = replicated_sharding(mesh)
-        state = jax.device_put(state, repl)
+        # parallel.shard_optimizer [new]: ZeRO-1 — shard the AdamW moments
+        # over the data axis instead of replicating them (the reference
+        # replicates the full torch AdamW state per GPU, src/train.py:184-211).
+        # Single-process meshes only: main-process checkpointing fetches the
+        # full state with device_get, which needs fully-addressable arrays.
+        shard_opt = bool(parallel_config.get("shard_optimizer", False))
+        if shard_opt and jax.process_count() > 1:
+            logger.warning(
+                "parallel.shard_optimizer is single-process only (checkpoint "
+                "fetch needs fully-addressable arrays); keeping the optimizer "
+                "state replicated."
+            )
+            shard_opt = False
+        if shard_opt:
+            from ..parallel.zero import state_shardings
+
+            state_sharding = state_shardings(mesh, state, shard_optimizer=True)
+            logger.info(
+                "parallel.shard_optimizer: AdamW moments sharded over the "
+                "%d-way data axis (ZeRO-1).", n_shards,
+            )
+        else:
+            state_sharding = None
+        state = jax.device_put(
+            state, state_sharding if state_sharding is not None else repl
+        )
 
         step_plain = make_train_step(
             module_plain, tx, self.kl_weight, mesh=mesh,
             stats_accumulate=ActivityMonitor.accumulate, ema_decay=ema_decay,
+            state_sharding=state_sharding,
         )
         step_maps = None
         if monitor.enabled and monitor.map_keys:
@@ -423,6 +449,7 @@ class Trainer:
                 module_maps, tx, self.kl_weight, mesh=mesh,
                 stats_accumulate=ActivityMonitor.accumulate,
                 map_keys=monitor.map_keys, ema_decay=ema_decay,
+                state_sharding=state_sharding,
             )
         eval_step = make_eval_step(module_plain, mesh=mesh) if do_validation else None
 

@@ -137,6 +137,7 @@ def make_train_step(
     map_keys: Tuple[str, ...] = (),
     donate: bool = True,
     ema_decay: float = 0.0,
+    state_sharding=None,
 ):
     """Build the jitted train step.
 
@@ -145,6 +146,13 @@ def make_train_step(
     module's capture table) — only materialized when the monitor's track
     interval is due; the plain step variant is built with a capture table
     that omits them.
+
+    ``state_sharding`` (optional, requires ``mesh``): a sharding pytree
+    matching the TrainState, used for the state's in/out shardings instead
+    of full replication — this is how ``parallel.shard_optimizer`` (ZeRO-1)
+    plugs in: with the optimizer moments sharded over the data axis, XLA
+    rewrites the gradient all-reduce into reduce-scatter + sharded update +
+    param all-gather purely from these annotations (see parallel/zero.py).
     """
     accumulate = stats_accumulate or default_stats_accumulate
 
@@ -214,10 +222,11 @@ def make_train_step(
     repl = replicated_sharding(mesh)
     img = batch_sharding(mesh)
     vec = vector_sharding(mesh)
+    state_spec = state_sharding if state_sharding is not None else repl
     return jax.jit(
         step_fn,
-        in_shardings=(repl, {"pixel_values": img}, vec, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(state_spec, {"pixel_values": img}, vec, repl),
+        out_shardings=(state_spec, repl, repl),
         donate_argnums=(0,) if donate else (),
     )
 
