@@ -46,7 +46,7 @@ def test_leaf_spec_axis_choice():
     assert _leaf_spec((3, 3, 64, 32), 8) == P(None, None, DATA_AXIS, None)
 
 
-def _setup(mesh, shard_optimizer, accum=1):
+def _setup(mesh, shard_optimizer, accum=1, ema_decay=0.0, shard_ema=False):
     cfg = VAEConfig.tiny()
     module = AutoencoderKL(config=cfg)
     params = module.init(
@@ -58,17 +58,20 @@ def _setup(mesh, shard_optimizer, accum=1):
         1e-3, warmup_steps=2, max_train_steps=100,
         gradient_accumulation_steps=accum,
     )
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, ema=ema_decay > 0.0)
     sharding = (
-        state_shardings(mesh, state, shard_optimizer=True)
-        if shard_optimizer
+        state_shardings(
+            mesh, state, shard_optimizer=shard_optimizer, shard_ema=shard_ema
+        )
+        if (shard_optimizer or shard_ema)
         else None
     )
     state = jax.device_put(
         state, sharding if sharding is not None else replicated_sharding(mesh)
     )
     step = make_train_step(
-        module, tx, 1e-6, mesh=mesh, donate=False, state_sharding=sharding
+        module, tx, 1e-6, mesh=mesh, donate=False, state_sharding=sharding,
+        ema_decay=ema_decay,
     )
     return state, step
 
@@ -149,6 +152,76 @@ def test_zero1_composes_with_grad_accumulation():
         )
 
 
+def test_shard_ema_distributes_and_matches_replicated():
+    """parallel.shard_ema: the EMA copy lives 1/N-per-device, the blend is
+    elementwise (each device reads its local slice of the replicated
+    params), and the EMA trajectory matches the replicated run. Even with
+    the optimizer unsharded, the sharded EMA consuming param slices makes
+    XLA pick a different gradient-reduction/fusion schedule, so parity is
+    up to fp32 reduction-order noise — the same tolerance as the ZeRO-1
+    param check above."""
+    mesh = make_mesh(8)
+    state_r, step_r = _setup(mesh, shard_optimizer=False, ema_decay=0.9)
+    state_z, step_z = _setup(
+        mesh, shard_optimizer=False, ema_decay=0.9, shard_ema=True
+    )
+
+    for leaf in _moment_leaves(state_z.ema_params):
+        shard_shape = leaf.sharding.shard_shape(leaf.shape)
+        assert int(np.prod(shard_shape)) * 8 == leaf.size, (
+            leaf.shape, shard_shape,
+        )
+    # params themselves stay replicated
+    for leaf in jax.tree.leaves(state_z.params):
+        assert leaf.sharding.is_fully_replicated
+
+    batch, mask = _batch(8, seed=13)
+    rng = jax.random.PRNGKey(17)
+    for _ in range(3):
+        state_r, _, _ = step_r(state_r, batch, mask, rng)
+        state_z, _, _ = step_z(state_z, batch, mask, rng)
+    # device_get gathers the sharded EMA before comparing
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state_r.ema_params)),
+        jax.tree.leaves(jax.device_get(state_z.ema_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+    # out_shardings keep the updated EMA distributed
+    for leaf in _moment_leaves(state_z.ema_params):
+        assert not leaf.sharding.is_fully_replicated
+
+
+def test_sharded_ema_checkpoint_roundtrip(tmp_path):
+    """EMA checkpoints are layout-independent: save with the EMA sharded,
+    restore into a fresh host template, compare against the live state."""
+    mesh = make_mesh(8)
+    state_z, step_z = _setup(
+        mesh, shard_optimizer=True, ema_decay=0.9, shard_ema=True
+    )
+    batch, mask = _batch(8, seed=21)
+    state_z, _, _ = step_z(state_z, batch, mask, jax.random.PRNGKey(2))
+
+    save_train_state(str(tmp_path / "ck"), state_z)
+
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+        sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, warmup_steps=2, max_train_steps=100)
+    template = TrainState.create(params, tx, ema=True)
+    restored = restore_train_state(str(tmp_path / "ck"), template)
+    for a, b in zip(
+        jax.tree.leaves(restored.ema_params),
+        jax.tree.leaves(jax.device_get(state_z.ema_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_state_checkpoint_roundtrip(tmp_path):
     """device_get on the sharded moments gathers the full arrays, so the
     checkpoint format is layout-independent: save sharded, restore into a
@@ -178,7 +251,8 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
 
 
 def test_trainer_accepts_shard_optimizer_config(tmp_path):
-    """parallel.shard_optimizer threads from YAML through the Trainer."""
+    """parallel.shard_optimizer + shard_ema thread from YAML through the
+    Trainer, and the final vae_ema export gathers the sharded EMA."""
     from vae_channel_dynamics_tpu.training.loop import Trainer
 
     config = {
@@ -200,6 +274,7 @@ def test_trainer_accepts_shard_optimizer_config(tmp_path):
             "mixed_precision": "no",
             "kl_weight": 1e-6,
             "max_grad_norm": 1.0,
+            "ema_decay": 0.5,
         },
         "logging": {"log_interval": 1, "report_to": "jsonl"},
         "saving": {"save_interval_steps": 1000},
@@ -208,7 +283,11 @@ def test_trainer_accepts_shard_optimizer_config(tmp_path):
         "logit_lens": {"enabled": False},
         "classification": {"enabled": False},
         "intervention": {"enabled": False},
-        "parallel": {"shard_optimizer": True},
+        "parallel": {"shard_optimizer": True, "shard_ema": True},
     }
     summary = Trainer(config).train()
     assert summary["global_step"] >= 1
+    # the sharded EMA gathered and exported as a bare model dir
+    import os
+
+    assert os.path.isdir(summary["ema_model_dir"])

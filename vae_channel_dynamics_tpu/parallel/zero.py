@@ -9,6 +9,11 @@ all-reduce into reduce-scatter + sharded update + param all-gather (the
 ZeRO-1 schedule) purely from sharding annotations — no hand-written
 collectives, and the extra gather rides ICI.
 
+``parallel.shard_ema`` applies the same per-leaf sharding to the EMA
+parameter copy (``training.ema_decay``): the EMA update is elementwise,
+so a sharded EMA adds no in-step collectives at all — each device blends
+its slice of the (replicated) params into its EMA shard.
+
 Axis choice per leaf: the largest dimension divisible by the data-axis
 size (conv kernels shard over their channel axes, biases/γ/β over their
 only axis); leaves with no divisible dimension — scalars like the Adam
@@ -62,15 +67,28 @@ def opt_state_shardings(mesh: Mesh, opt_state: Any) -> Any:
     return jax.tree.map(leaf, opt_state)
 
 
-def state_shardings(mesh: Mesh, state: Any, shard_optimizer: bool) -> Any:
+def state_shardings(
+    mesh: Mesh, state: Any, shard_optimizer: bool, shard_ema: bool = False
+) -> Any:
     """A sharding pytree matching ``state`` (a TrainState): everything
-    replicated, except the optimizer state when ``shard_optimizer`` —
-    usable both for ``jax.device_put`` placement and as the train step's
-    in/out shardings."""
+    replicated, except the optimizer state when ``shard_optimizer`` and the
+    EMA parameter copy when ``shard_ema`` — usable both for
+    ``jax.device_put`` placement and as the train step's in/out shardings.
+
+    ``shard_ema`` extends the same idea to ``state.ema_params`` (another
+    full fp32 copy of the parameters, ~335 MB for the SDXL VAE): the EMA
+    blend is purely elementwise (``e*d + p*(1-d)``), so with EMA sharded
+    and params replicated XLA just reads each device's local slice of the
+    params — zero extra collectives in the step; the all-gather happens
+    once, at checkpoint/export time via ``jax.device_get``."""
     repl = replicated_sharding(mesh)
     shardings = jax.tree.map(lambda _: repl, state)
     if shard_optimizer:
         shardings = shardings.replace(
             opt_state=opt_state_shardings(mesh, state.opt_state)
+        )
+    if shard_ema and state.ema_params is not None:
+        shardings = shardings.replace(
+            ema_params=opt_state_shardings(mesh, state.ema_params)
         )
     return shardings

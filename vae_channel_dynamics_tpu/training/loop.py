@@ -412,21 +412,33 @@ class Trainer:
         # Single-process meshes only: main-process checkpointing fetches the
         # full state with device_get, which needs fully-addressable arrays.
         shard_opt = bool(parallel_config.get("shard_optimizer", False))
-        if shard_opt and jax.process_count() > 1:
+        # parallel.shard_ema [new]: shard the EMA parameter copy the same
+        # way (elementwise blend — no extra in-step collectives; gathered
+        # once at export). No-op unless training.ema_decay > 0.
+        shard_ema = bool(parallel_config.get("shard_ema", False))
+        if (shard_opt or shard_ema) and jax.process_count() > 1:
             logger.warning(
-                "parallel.shard_optimizer is single-process only (checkpoint "
-                "fetch needs fully-addressable arrays); keeping the optimizer "
-                "state replicated."
+                "parallel.shard_optimizer/shard_ema are single-process only "
+                "(checkpoint fetch needs fully-addressable arrays); keeping "
+                "the state replicated."
             )
-            shard_opt = False
-        if shard_opt:
+            shard_opt = shard_ema = False
+        if shard_opt or shard_ema:
             from ..parallel.zero import state_shardings
 
-            state_sharding = state_shardings(mesh, state, shard_optimizer=True)
-            logger.info(
-                "parallel.shard_optimizer: AdamW moments sharded over the "
-                "%d-way data axis (ZeRO-1).", n_shards,
+            state_sharding = state_shardings(
+                mesh, state, shard_optimizer=shard_opt, shard_ema=shard_ema
             )
+            if shard_opt:
+                logger.info(
+                    "parallel.shard_optimizer: AdamW moments sharded over "
+                    "the %d-way data axis (ZeRO-1).", n_shards,
+                )
+            if shard_ema and state.ema_params is not None:
+                logger.info(
+                    "parallel.shard_ema: EMA params sharded over the %d-way "
+                    "data axis.", n_shards,
+                )
         else:
             state_sharding = None
         state = jax.device_put(
