@@ -89,6 +89,133 @@ def test_two_process_spmd_train_step(tmp_path):
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
 
 
+_ZERO_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    proc_id = int(sys.argv[1]); port = sys.argv[2]; ckpt_dir = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    from vae_channel_dynamics_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    jax.distributed.initialize(f"localhost:{{port}}", num_processes=2,
+                               process_id=proc_id)
+    import numpy as np, jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+    from vae_channel_dynamics_tpu.parallel.mesh import (
+        batch_sharding, vector_sharding, make_global_array,
+    )
+    from vae_channel_dynamics_tpu.parallel.zero import (
+        make_gather_fn, state_shardings,
+    )
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState, build_optimizer, make_train_step,
+    )
+    from vae_channel_dynamics_tpu.training.checkpoint import (
+        restore_train_state, save_train_state,
+    )
+    mesh = make_mesh()  # 4 global devices over 2 processes
+    module = AutoencoderKL(config=VAEConfig.tiny())
+    params = module.init(
+        {{"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}},
+        jnp.zeros((1, 16, 16, 3)), sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, 0, 10)
+    state = TrainState.create(params, tx, ema=True)
+    sharding = state_shardings(mesh, state, shard_optimizer=True,
+                               shard_ema=True, shard_params=True)
+    gather = make_gather_fn(mesh, state)
+    # device_put from HOST values: each process slices its shards locally.
+    # Feeding committed device arrays instead makes JAX reshard across
+    # processes leaf-by-leaf (one Gloo context per transfer), which times
+    # out at this leaf count — same hostification the trainer applies.
+    state = jax.device_put(
+        jax.tree.map(lambda x: np.asarray(x), state), sharding
+    )
+    # the moments AND params really span processes: sharded leaves must
+    # NOT be fully addressable from one process
+    for tree in (state.opt_state, state.params):
+        non_addressable = [
+            l for l in jax.tree.leaves(tree)
+            if hasattr(l, "is_fully_addressable")
+            and not l.is_fully_addressable
+        ]
+        assert non_addressable, "expected cross-process shards"
+    step = make_train_step(module, tx, 1e-6, mesh=mesh, donate=False,
+                           state_sharding=sharding, ema_decay=0.9)
+    rng = np.random.default_rng(proc_id)
+    for _ in range(2):
+        local = rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+        batch = {{"pixel_values": make_global_array(local,
+                                                    batch_sharding(mesh))}}
+        mask = make_global_array(np.ones(4, np.float32),
+                                 vector_sharding(mesh))
+        state, metrics, _ = step(state, batch, mask, jax.random.PRNGKey(3))
+    loss = float(jax.device_get(metrics["train_loss_step"]))
+    # the save-boundary collective: every process gathers, main writes
+    save_state = gather(state)
+    if proc_id == 0:
+        save_train_state(ckpt_dir, save_state)
+    multihost_utils.sync_global_devices("ckpt_saved")
+    # both processes restore into a host template and compare against the
+    # live (gathered) state — checkpoint is layout-independent
+    template = TrainState.create(params, tx, ema=True)
+    restored = restore_train_state(ckpt_dir, template)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(jax.device_get(save_state.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.ema_params),
+                    jax.tree.leaves(jax.device_get(save_state.ema_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(jax.device_get(save_state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print(f"RESULT {{loss:.6f}}", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_zero_checkpoint(tmp_path):
+    """Multi-host full-ZeRO (moments + EMA + params sharded) end-to-end:
+    the shards span two processes (not fully addressable from either),
+    the save-boundary all-gather (parallel.zero.make_gather_fn)
+    re-replicates on BOTH processes, the main process writes the
+    checkpoint, and both restore it into a host template that matches the
+    live state exactly."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "zero_worker.py"
+    script.write_text(_ZERO_WORKER.format(repo=repo))
+    ckpt_dir = str(tmp_path / "zero_ckpt")
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    logs = [tmp_path / f"zworker{i}.log" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), ckpt_dir],
+            stdout=open(logs[i], "w"), stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        p.wait(timeout=600)
+    outputs = [log.read_text() for log in logs]
+    losses = []
+    for i, out in enumerate(outputs):
+        assert procs[i].returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"proc {i} produced no result:\n{out[-2000:]}"
+        losses.append(float(lines[-1].split()[1]))
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+
 _FAILURE_WORKER = textwrap.dedent(
     """
     import os, sys, time

@@ -46,7 +46,10 @@ def test_leaf_spec_axis_choice():
     assert _leaf_spec((3, 3, 64, 32), 8) == P(None, None, DATA_AXIS, None)
 
 
-def _setup(mesh, shard_optimizer, accum=1, ema_decay=0.0, shard_ema=False):
+def _setup(
+    mesh, shard_optimizer, accum=1, ema_decay=0.0, shard_ema=False,
+    shard_params=False,
+):
     cfg = VAEConfig.tiny()
     module = AutoencoderKL(config=cfg)
     params = module.init(
@@ -61,9 +64,10 @@ def _setup(mesh, shard_optimizer, accum=1, ema_decay=0.0, shard_ema=False):
     state = TrainState.create(params, tx, ema=ema_decay > 0.0)
     sharding = (
         state_shardings(
-            mesh, state, shard_optimizer=shard_optimizer, shard_ema=shard_ema
+            mesh, state, shard_optimizer=shard_optimizer,
+            shard_ema=shard_ema, shard_params=shard_params,
         )
-        if (shard_optimizer or shard_ema)
+        if (shard_optimizer or shard_ema or shard_params)
         else None
     )
     state = jax.device_put(
@@ -193,6 +197,90 @@ def test_shard_ema_distributes_and_matches_replicated():
         assert not leaf.sharding.is_fully_replicated
 
 
+def test_zero3_matches_replicated_and_distributes_params():
+    """parallel.shard_params (ZeRO-3): the persistent parameter buffers
+    live 1/N-per-device (XLA gathers each weight at its point of use in
+    the forward/backward), the trajectory matches the replicated run up
+    to fp32 reduction-order noise, and the post-update params keep the
+    sharded layout. Run with the full ZeRO stack (moments + EMA + params)
+    — the production configuration."""
+    mesh = make_mesh(8)
+    state_r, step_r = _setup(mesh, shard_optimizer=False, ema_decay=0.9)
+    state_z, step_z = _setup(
+        mesh, shard_optimizer=True, ema_decay=0.9, shard_ema=True,
+        shard_params=True,
+    )
+
+    sharded = _moment_leaves(state_z.params)
+    assert sharded, "expected shardable param leaves"
+    for leaf in sharded:
+        shard_shape = leaf.sharding.shard_shape(leaf.shape)
+        assert int(np.prod(shard_shape)) * 8 == leaf.size, (
+            leaf.shape, shard_shape,
+        )
+
+    batch, mask = _batch(8, seed=29)
+    rng = jax.random.PRNGKey(31)
+    for _ in range(3):
+        state_r, met_r, _ = step_r(state_r, batch, mask, rng)
+        state_z, met_z, _ = step_z(state_z, batch, mask, rng)
+    np.testing.assert_allclose(
+        float(met_r["train_loss_step"]), float(met_z["train_loss_step"]),
+        rtol=2e-5,
+    )
+    # device_get gathers the sharded params/EMA before comparing
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state_r.params)),
+        jax.tree.leaves(jax.device_get(state_z.params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state_r.ema_params)),
+        jax.tree.leaves(jax.device_get(state_z.ema_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+    # out_shardings keep the updated params distributed
+    for leaf in _moment_leaves(state_z.params):
+        assert not leaf.sharding.is_fully_replicated
+
+
+def test_zero3_eval_step_accepts_sharded_params():
+    """Validation must run on the live (sharded) params: make_eval_step
+    threads the params sharding into its in_shardings, and the losses
+    match an eval on the gathered replicated copy."""
+    from vae_channel_dynamics_tpu.training import make_eval_step
+
+    mesh = make_mesh(8)
+    state_z, step_z = _setup(mesh, shard_optimizer=True, shard_params=True)
+    batch, mask = _batch(8, seed=33)
+    state_z, _, _ = step_z(state_z, batch, mask, jax.random.PRNGKey(5))
+
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    from vae_channel_dynamics_tpu.parallel.zero import opt_state_shardings
+
+    eval_sharded = make_eval_step(
+        module, mesh=mesh,
+        params_sharding=opt_state_shardings(mesh, state_z.params),
+    )
+    eval_repl = make_eval_step(module, mesh=mesh)
+    batch_dev = {"pixel_values": jnp.asarray(batch["pixel_values"])}
+    mask_dev = jnp.asarray(mask)
+    out_s = eval_sharded(state_z.params, batch_dev, mask_dev)
+    out_r = eval_repl(jax.device_get(state_z.params), batch_dev, mask_dev)
+    np.testing.assert_allclose(
+        float(out_s["rec_loss_sum"]), float(out_r["rec_loss_sum"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(out_s["kl_sum"]), float(out_r["kl_sum"]), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_sharded_ema_checkpoint_roundtrip(tmp_path):
     """EMA checkpoints are layout-independent: save with the EMA sharded,
     restore into a fresh host template, compare against the live state."""
@@ -251,8 +339,12 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
 
 
 def test_trainer_accepts_shard_optimizer_config(tmp_path):
-    """parallel.shard_optimizer + shard_ema thread from YAML through the
-    Trainer, and the final vae_ema export gathers the sharded EMA."""
+    """parallel.shard_optimizer + shard_ema + shard_params thread from
+    YAML through the Trainer with the monitor→classifier→nudger control
+    path LIVE (the nudge fetches a ZeRO-3-sharded γ and feeds an
+    uncommitted host array back into the sharded step) and dead tracking
+    snapshotting a sharded raw weight; the final vae/vae_ema exports
+    gather the sharded copies."""
     from vae_channel_dynamics_tpu.training.loop import Trainer
 
     config = {
@@ -269,7 +361,9 @@ def test_trainer_accepts_shard_optimizer_config(tmp_path):
             "do_validation": False,
         },
         "training": {
-            "num_train_epochs": 1,
+            # global batch 16 (= max_samples) → 1 step/epoch; 4 epochs so
+            # the interval-2 track/classify/nudge path fires twice
+            "num_train_epochs": 4,
             "learning_rate": 1e-4,
             "mixed_precision": "no",
             "kl_weight": 1e-6,
@@ -278,16 +372,54 @@ def test_trainer_accepts_shard_optimizer_config(tmp_path):
         },
         "logging": {"log_interval": 1, "report_to": "jsonl"},
         "saving": {"save_interval_steps": 1000},
-        "tracking": {"enabled": False},
-        "dead_neuron_tracking": {"enabled": False},
+        "tracking": {
+            "enabled": True,
+            "track_interval": 2,
+            "target_layers": [
+                {
+                    "name": "vae.encoder.down_blocks.0.resnets.0.norm1",
+                    "capture_point": "output",
+                    "metrics": ["mean_abs_activation_per_channel"],
+                }
+            ],
+        },
+        "dead_neuron_tracking": {
+            "enabled": True,
+            "track_interval": 2,
+            "target_layer_names_for_raw_weights": [
+                "vae.encoder.down_blocks.0.resnets.0.norm1.weight",
+            ],
+        },
         "logit_lens": {"enabled": False},
-        "classification": {"enabled": False},
-        "intervention": {"enabled": False},
-        "parallel": {"shard_optimizer": True, "shard_ema": True},
+        "classification": {
+            "enabled": True,
+            "method": "threshold_groupnorm_activity",
+            # far above any real activation so the nudge always fires
+            "threshold": 1e6,
+            "target_metric_key": "mean_abs_activation_per_channel",
+            "layers_to_classify": [
+                "vae.encoder.down_blocks.0.resnets.0.norm1.output",
+            ],
+        },
+        "intervention": {
+            "enabled": True,
+            "strategy": "gentle_nudge_groupnorm_scale",
+            "nudge_factor": 1.2,
+            "max_scale_value": 1.5,
+            "intervention_interval": 2,
+        },
+        "parallel": {
+            "shard_optimizer": True, "shard_ema": True, "shard_params": True,
+        },
     }
     summary = Trainer(config).train()
     assert summary["global_step"] >= 1
-    # the sharded EMA gathered and exported as a bare model dir
+    # the sharded params/EMA gathered and exported as bare model dirs
     import os
 
+    assert os.path.isdir(os.path.join(summary["final_model_dir"], "vae"))
     assert os.path.isdir(summary["ema_model_dir"])
+    # the control path really fired on the sharded params
+    with open(os.path.join(str(tmp_path), "zero_smoke",
+                           "intervention_history.csv")) as fh:
+        assert fh.read().strip(), "expected nudges recorded"

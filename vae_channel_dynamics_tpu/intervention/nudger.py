@@ -72,9 +72,16 @@ class InterventionHandler:
         params: Dict[str, Any],
         classification_results: Dict[str, Any],
         global_step: int,
+        replicate_leaf=None,
     ) -> Dict[str, Any]:
         """Return a params pytree with nudges applied (the input tree is not
-        modified). ``num_nudges_applied`` reports the count for this call."""
+        modified). ``num_nudges_applied`` reports the count for this call.
+
+        ``replicate_leaf`` (optional): re-replicator for ZeRO-3-sharded
+        params on multi-host meshes (parallel.zero.make_replicate_leaf_fn)
+        — the γ host fetch below needs a fully-addressable leaf. It is a
+        collective when it fires, so intervene must be (and is) called on
+        every process in the same order."""
         if not self.config.get("enabled", False):
             return params
         if self.strategy == "none":
@@ -115,6 +122,8 @@ class InterventionHandler:
                     param_name,
                 )
                 continue
+            if replicate_leaf is not None:
+                gamma = replicate_leaf(gamma)
             gamma_np = np.asarray(gamma, np.float32)
             nudged, applied = self._nudged_scale(gamma_np, indices)
             if applied:

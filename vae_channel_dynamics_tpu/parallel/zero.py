@@ -14,6 +14,16 @@ parameter copy (``training.ema_decay``): the EMA update is elementwise,
 so a sharded EMA adds no in-step collectives at all — each device blends
 its slice of the (replicated) params into its EMA shard.
 
+``parallel.shard_params`` (ZeRO-3) shards the persistent parameter
+buffers themselves: XLA all-gathers each weight at its point of use in
+the forward/backward pass and keeps the post-update params sharded. On
+top of ZeRO-1 the collective volume is nearly unchanged (ZeRO-1 already
+all-gathers the fresh params after the sharded update; ZeRO-3 moves that
+gather to first use), but the resident fp32 params drop from 335 MB
+replicated to 335/N MB per device — with moments and EMA also sharded,
+the whole ~1.3 GB fp32 state scales 1/N. Host-side consumers that read
+individual param leaves go through ``make_replicate_leaf_fn``.
+
 Axis choice per leaf: the largest dimension divisible by the data-axis
 size (conv kernels shard over their channel axes, biases/γ/β over their
 only axis); leaves with no divisible dimension — scalars like the Adam
@@ -21,11 +31,13 @@ only axis); leaves with no divisible dimension — scalars like the Adam
 never shard parameters: optimizer shards must stay within one ICI domain
 or the per-step param all-gather would cross DCN.
 
-Scope: single-process meshes (one host driving all chips — every real
-single-slice TPU VM). Multi-host runs keep the state replicated because
-main-process-only checkpointing fetches the full state with
-``jax.device_get``, which requires fully-addressable arrays; the trainer
-warns and falls back (see training/loop.py).
+Multi-host: sharded leaves are not fully addressable, so main-process
+checkpointing cannot ``jax.device_get`` them directly. ``make_gather_fn``
+compiles an all-gather (a jitted identity with replicated out-shardings)
+that EVERY process runs at save boundaries; the gathered copy IS fully
+addressable and the write proceeds on the main process as usual. The
+gather costs one state-sized all-gather per checkpoint — amortized over
+``save_interval_steps``, not per step.
 """
 
 from __future__ import annotations
@@ -68,12 +80,17 @@ def opt_state_shardings(mesh: Mesh, opt_state: Any) -> Any:
 
 
 def state_shardings(
-    mesh: Mesh, state: Any, shard_optimizer: bool, shard_ema: bool = False
+    mesh: Mesh,
+    state: Any,
+    shard_optimizer: bool,
+    shard_ema: bool = False,
+    shard_params: bool = False,
 ) -> Any:
     """A sharding pytree matching ``state`` (a TrainState): everything
-    replicated, except the optimizer state when ``shard_optimizer`` and the
-    EMA parameter copy when ``shard_ema`` — usable both for
-    ``jax.device_put`` placement and as the train step's in/out shardings.
+    replicated, except the optimizer state when ``shard_optimizer``, the
+    EMA parameter copy when ``shard_ema``, and the params themselves when
+    ``shard_params`` (ZeRO-3) — usable both for ``jax.device_put``
+    placement and as the train step's in/out shardings.
 
     ``shard_ema`` extends the same idea to ``state.ema_params`` (another
     full fp32 copy of the parameters, ~335 MB for the SDXL VAE): the EMA
@@ -91,4 +108,47 @@ def state_shardings(
         shardings = shardings.replace(
             ema_params=opt_state_shardings(mesh, state.ema_params)
         )
+    if shard_params:
+        shardings = shardings.replace(
+            params=opt_state_shardings(mesh, state.params)
+        )
     return shardings
+
+
+def make_replicate_leaf_fn(mesh: Mesh):
+    """A leaf-level re-replicator for host fetches of sharded params.
+
+    Under ``parallel.shard_params`` the persistent parameter buffers are
+    sharded; host-side consumers that fetch individual leaves (the nudger
+    reads GroupNorm γ vectors, the dead tracker snapshots configured raw
+    weights) can ``np.asarray`` a sharded leaf only while it is fully
+    addressable (single process). On multi-host meshes the returned
+    function routes such leaves through a jitted identity with a
+    replicated out-sharding — an all-gather, so it MUST be reached by all
+    processes in the same order (both call sites run un-gated on every
+    process). Fully-addressable leaves pass through untouched."""
+    repl = replicated_sharding(mesh)
+    gather = jax.jit(lambda x: x, out_shardings=repl)
+
+    def replicate(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return gather(x)
+        return x
+
+    return replicate
+
+
+def make_gather_fn(mesh: Mesh, state: Any):
+    """A jitted identity that re-replicates every leaf of ``state``.
+
+    Checkpointing fetches the state with ``jax.device_get``, which needs
+    fully-addressable arrays; on multi-host meshes the ZeRO shards are
+    not. Every process calls the returned function at a save boundary
+    (it compiles to an all-gather — an SPMD collective, so ALL processes
+    must participate), and the result is a fully-replicated, fully-
+    addressable snapshot safe to fetch and write from the main process.
+    The input state is NOT donated — the live (sharded) state stays valid
+    for the next train step."""
+    repl = replicated_sharding(mesh)
+    out_shardings = jax.tree.map(lambda _: repl, state)
+    return jax.jit(lambda s: s, out_shardings=out_shardings)

@@ -118,9 +118,18 @@ class DeadNeuronTracker:
         return jax.jit(compute)
 
     # ------------------------------------------------------------------ #
-    def track_dead_neurons(self, params, global_step: int) -> None:
+    def track_dead_neurons(
+        self, params, global_step: int, replicate_leaf=None
+    ) -> None:
         """One device round-trip: compute every percentage on device,
-        fetch, append to histories; snapshot configured raw weights."""
+        fetch, append to histories; snapshot configured raw weights.
+
+        ``replicate_leaf`` (optional): re-replicator for ZeRO-3-sharded
+        params on multi-host meshes (parallel.zero.make_replicate_leaf_fn)
+        — the raw-weight snapshots below fetch whole leaves to host. The
+        percentage computation itself needs nothing: it is a jitted
+        reduction whose shardings are inferred from the (possibly sharded)
+        arguments and whose outputs are replicated scalars."""
         targets = self._target_params(params)
         if not targets:
             logger.warning("DeadNeuronTracker: no target parameters found.")
@@ -137,6 +146,8 @@ class DeadNeuronTracker:
             if leaf is None:
                 logger.debug("Raw-weight target not found: %s", name)
                 continue
+            if replicate_leaf is not None:
+                leaf = replicate_leaf(leaf)
             # replace-not-append: only the latest snapshot survives
             self.weights_history[name] = [
                 naming.to_torch_layout(stripped, leaf)

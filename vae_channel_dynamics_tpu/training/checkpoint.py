@@ -25,6 +25,32 @@ STATE_SUBDIR = "state"
 RESUME_META = "resume_meta.json"
 
 
+def _make_checkpointer() -> ocp.Checkpointer:
+    """A checkpointer whose barriers never cross processes.
+
+    Orbax's default ``StandardCheckpointer`` synchronizes ALL processes at
+    save/restore boundaries — correct when every process calls save, but
+    this framework writes checkpoints from the MAIN process only (the
+    state is fully replicated, or gathered to replicated first under
+    multi-host ZeRO; see parallel/zero.make_gather_fn). A main-only call
+    into a global-barrier save deadlocks the other processes' next sync
+    (observed as "sync_global_devices name mismatch"). Restricting
+    ``active_processes`` to the calling process makes every barrier
+    process-local, so main-only saves and per-process restores (each
+    process reads the same files independently on resume) both work."""
+    if jax.process_count() > 1:
+        pid = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=pid,
+                active_processes={pid},
+                barrier_sync_key_prefix=f"vcd-p{pid}",
+            ),
+        )
+    return ocp.StandardCheckpointer()
+
+
 class AsyncSaver:
     """Non-blocking checkpoint writes for the hot loop.
 
@@ -93,7 +119,7 @@ def save_train_state(path: str, state: Any, meta: Optional[Dict] = None) -> None
         import shutil
 
         shutil.rmtree(target)
-    with ocp.StandardCheckpointer() as ck:
+    with _make_checkpointer() as ck:
         ck.save(target, jax.device_get(state))
     if meta is not None:
         # atomic write (tmp + rename): a preemption mid-write must not
@@ -137,7 +163,7 @@ def restore_train_state(path: str, template: Any) -> Any:
     target = os.path.join(os.path.abspath(path), STATE_SUBDIR)
     if not os.path.isdir(target):
         raise FileNotFoundError(f"No checkpoint state at {target}")
-    with ocp.StandardCheckpointer() as ck:
+    with _make_checkpointer() as ck:
         restored = ck.restore(target, jax.device_get(template))
     logger.info("Restored train state from %s", target)
     return restored

@@ -416,19 +416,47 @@ class Trainer:
         # way (elementwise blend — no extra in-step collectives; gathered
         # once at export). No-op unless training.ema_decay > 0.
         shard_ema = bool(parallel_config.get("shard_ema", False))
-        if (shard_opt or shard_ema) and jax.process_count() > 1:
+        # parallel.shard_params [new]: ZeRO-3 — shard the persistent param
+        # buffers themselves; XLA gathers each weight at its point of use.
+        shard_par = bool(parallel_config.get("shard_params", False))
+        if shard_par and wrapper.impl == "fused" and mesh.size > 1:
+            # the fused Pallas kernels run per-shard via shard_map with
+            # replicated params (pallas_resnet.set_shard_mesh above);
+            # ZeRO-3-sharded params would violate those in_specs
             logger.warning(
-                "parallel.shard_optimizer/shard_ema are single-process only "
-                "(checkpoint fetch needs fully-addressable arrays); keeping "
-                "the state replicated."
+                "parallel.shard_params is incompatible with "
+                "model.kernel_impl=fused under a mesh; keeping the params "
+                "replicated."
             )
-            shard_opt = shard_ema = False
-        if shard_opt or shard_ema:
-            from ..parallel.zero import state_shardings
+            shard_par = False
+        gather_for_save = None
+        replicate_leaf = None
+        params_sharding = None
+        if shard_opt or shard_ema or shard_par:
+            from ..parallel.zero import (
+                make_gather_fn,
+                make_replicate_leaf_fn,
+                state_shardings,
+            )
 
             state_sharding = state_shardings(
-                mesh, state, shard_optimizer=shard_opt, shard_ema=shard_ema
+                mesh, state, shard_optimizer=shard_opt, shard_ema=shard_ema,
+                shard_params=shard_par,
             )
+            if shard_par:
+                params_sharding = state_sharding.params
+            if jax.process_count() > 1:
+                # multi-host: sharded leaves are not fully addressable, so
+                # checkpoint fetches must first re-replicate via a jitted
+                # all-gather that EVERY process runs (it's a collective) —
+                # each save site below calls _for_save outside any is_main
+                # gate for exactly this reason
+                gather_for_save = make_gather_fn(mesh, state)
+                if shard_par:
+                    # ditto for the nudger's γ fetch and the dead tracker's
+                    # raw-weight snapshots: both call sites run un-gated on
+                    # every process, so the gather is safe there
+                    replicate_leaf = make_replicate_leaf_fn(mesh)
             if shard_opt:
                 logger.info(
                     "parallel.shard_optimizer: AdamW moments sharded over "
@@ -439,8 +467,34 @@ class Trainer:
                     "parallel.shard_ema: EMA params sharded over the %d-way "
                     "data axis.", n_shards,
                 )
+            if shard_par:
+                logger.info(
+                    "parallel.shard_params: parameter buffers sharded over "
+                    "the %d-way data axis (ZeRO-3).", n_shards,
+                )
         else:
             state_sharding = None
+
+        def _for_save(live_state):
+            """A fully-addressable view of the state for checkpointing.
+
+            Single-process: the state itself (device_get can read sharded
+            addressable arrays directly). Multi-host with ZeRO shardings:
+            the all-gathered replicated snapshot — MUST be called by all
+            processes (SPMD collective), so call sites sit outside is_main
+            gates."""
+            if gather_for_save is None:
+                return live_state
+            return gather_for_save(live_state)
+        if state_sharding is not None and jax.process_count() > 1:
+            # hostify first: device_put from host values lets each process
+            # slice its shards locally; committed device arrays would be
+            # resharded cross-process leaf-by-leaf (one Gloo/transfer
+            # context per leaf), which times out on large pytrees
+            state = jax.tree.map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                state,
+            )
         state = jax.device_put(
             state, state_sharding if state_sharding is not None else repl
         )
@@ -463,7 +517,13 @@ class Trainer:
                 map_keys=monitor.map_keys, ema_decay=ema_decay,
                 state_sharding=state_sharding,
             )
-        eval_step = make_eval_step(module_plain, mesh=mesh) if do_validation else None
+        eval_step = (
+            make_eval_step(
+                module_plain, mesh=mesh, params_sharding=params_sharding
+            )
+            if do_validation
+            else None
+        )
 
         # ---------------- intervals ---------------- #
         log_interval = as_int(self.logging_config.get("log_interval"), 10)
@@ -758,7 +818,8 @@ class Trainer:
                 if handler is not None and global_step % intervention_interval == 0:
                     if classification_output:
                         new_params = handler.intervene(
-                            state.params, classification_output, global_step
+                            state.params, classification_output, global_step,
+                            replicate_leaf=replicate_leaf,
                         )
                         if handler.num_nudges_applied > 0:
                             state = state.replace(params=new_params)
@@ -853,35 +914,46 @@ class Trainer:
                 if dead_tracker is not None and dnt_interval > 0 and (
                     global_step % dnt_interval == 0
                 ):
-                    dead_tracker.track_dead_neurons(state.params, global_step)
+                    dead_tracker.track_dead_neurons(
+                        state.params, global_step,
+                        replicate_leaf=replicate_leaf,
+                    )
 
                 # --- periodic checkpoint (train.py:358-362) ---
-                if global_step % save_interval_steps == 0 and is_main:
-                    ckpt_path = os.path.join(
-                        self.output_dir, f"{checkpoint_prefix}-{global_step}"
-                    )
-                    keep_last_n = as_int(
-                        self.saving_config.get("keep_last_n"), 0
-                    )
-
-                    def _prune(
-                        out=self.output_dir, pfx=checkpoint_prefix,
-                        n=keep_last_n,
-                    ):
-                        prune_checkpoints(out, pfx, n)
-
-                    if ckpt_saver is not None:
-                        # prune inside the writer AFTER the save lands;
-                        # pruning here would list the dir before the new
-                        # checkpoint exists (keep_last_n would transiently
-                        # hold n+1 and lag one save behind)
-                        ckpt_saver.save(
-                            ckpt_path, state, on_complete=_prune,
-                            meta=_resume_meta(),
+                # the save predicate is deterministic and identical on all
+                # processes, so _for_save (a collective under multi-host
+                # ZeRO) runs on every process; only the write is main-only
+                if global_step % save_interval_steps == 0:
+                    save_state = _for_save(state)
+                    if is_main:
+                        ckpt_path = os.path.join(
+                            self.output_dir,
+                            f"{checkpoint_prefix}-{global_step}",
                         )
-                    else:
-                        save_train_state(ckpt_path, state, meta=_resume_meta())
-                        _prune()
+                        keep_last_n = as_int(
+                            self.saving_config.get("keep_last_n"), 0
+                        )
+
+                        def _prune(
+                            out=self.output_dir, pfx=checkpoint_prefix,
+                            n=keep_last_n,
+                        ):
+                            prune_checkpoints(out, pfx, n)
+
+                        if ckpt_saver is not None:
+                            # prune inside the writer AFTER the save lands;
+                            # pruning here would list the dir before the new
+                            # checkpoint exists (keep_last_n would
+                            # transiently hold n+1 and lag one save behind)
+                            ckpt_saver.save(
+                                ckpt_path, save_state, on_complete=_prune,
+                                meta=_resume_meta(),
+                            )
+                        else:
+                            save_train_state(
+                                ckpt_path, save_state, meta=_resume_meta()
+                            )
+                            _prune()
 
                 # --- preemption-safe exit (no reference equivalent) ---
                 # Multi-host runs must agree on stopping (the step is a
@@ -913,6 +985,9 @@ class Trainer:
                             ).any()
                         )
                     if stop_now:
+                        # all processes agreed on stop_now, so all reach
+                        # the _for_save collective together
+                        save_state = _for_save(state)
                         if is_main:
                             if ckpt_saver is not None:
                                 ckpt_saver.wait()
@@ -921,7 +996,7 @@ class Trainer:
                                     self.output_dir,
                                     f"{checkpoint_prefix}-{global_step}",
                                 ),
-                                state,
+                                save_state,
                                 meta=_resume_meta(),
                             )
                         logger.warning(
@@ -1000,8 +1075,10 @@ class Trainer:
             global_step, images_seen, elapsed, images_seen / max(elapsed, 1e-6),
         )
 
+        # _for_save is a collective under multi-host ZeRO — every process
+        # gathers; _finalize's early return then only skips host-side writes
         summary = self._finalize(
-            state, vae_config, monitor, dead_tracker, handler,
+            _for_save(state), vae_config, monitor, dead_tracker, handler,
             is_main, reporter, final_meta=_resume_meta(),
         )
         summary.update(

@@ -231,10 +231,15 @@ def make_train_step(
     )
 
 
-def make_eval_step(module, mesh=None):
+def make_eval_step(module, mesh=None, params_sharding=None):
     """Deterministic (mode) forward returning SUM-convention losses for
     validation (src/train.py:77-78) plus the per-element-mean MSE used by
-    evaluate.py (src/evaluate.py:231-240)."""
+    evaluate.py (src/evaluate.py:231-240).
+
+    ``params_sharding`` (optional, requires ``mesh``): the params' sharding
+    pytree when the live params are ZeRO-3-sharded (parallel.shard_params)
+    — jit rejects committed arrays whose sharding differs from
+    in_shardings, so validation must declare the layout it is given."""
 
     def eval_fn(params, batch, mask):
         pixel_values = dequantize_pixels(batch["pixel_values"])
@@ -261,7 +266,11 @@ def make_eval_step(module, mesh=None):
     vec = vector_sharding(mesh)
     return jax.jit(
         eval_fn,
-        in_shardings=(repl, {"pixel_values": img}, vec),
+        in_shardings=(
+            params_sharding if params_sharding is not None else repl,
+            {"pixel_values": img},
+            vec,
+        ),
         out_shardings={
             "rec_loss_sum": repl,
             "kl_sum": repl,

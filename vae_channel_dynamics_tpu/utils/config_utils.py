@@ -152,7 +152,9 @@ _KNOWN_SECTION_KEYS: Dict[str, set] = {
         "enabled", "strategy", "nudge_factor", "nudge_value_add",
         "max_scale_value", "intervention_interval",
     },
-    "parallel": {"spatial", "slices", "shard_optimizer", "shard_ema"},
+    "parallel": {
+        "spatial", "slices", "shard_optimizer", "shard_ema", "shard_params",
+    },
     "profiling": {"enabled", "start_step", "num_steps", "output_subdir"},
 }
 
