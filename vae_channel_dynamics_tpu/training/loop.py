@@ -337,6 +337,9 @@ class Trainer:
             adam_epsilon=as_float(tc.get("adam_epsilon"), 1e-8),
             max_grad_norm=as_float(tc.get("max_grad_norm"), 1.0),
             gradient_accumulation_steps=accum,
+            # training.optimizer [new]: adamw (reference parity) | adafactor
+            # (factored moments — ~2x less optimizer-state HBM)
+            optimizer=str(tc.get("optimizer", "adamw")).lower(),
         )
 
         # ---------------- instrumentation ---------------- #

@@ -58,25 +58,49 @@ def build_optimizer(
     adam_epsilon: float = 1e-8,
     max_grad_norm: float = 1.0,
     gradient_accumulation_steps: int = 1,
+    optimizer: str = "adamw",
 ) -> Tuple[optax.GradientTransformation, Callable]:
-    """AdamW + global-norm clipping + linear warmup/decay, with optional
+    """Optimizer + global-norm clipping + linear warmup/decay, with optional
     gradient accumulation (optax.MultiSteps replaces the reference's
-    ``accelerator.accumulate`` context, src/train.py:286)."""
+    ``accelerator.accumulate`` context, src/train.py:286).
+
+    ``optimizer`` [new]: ``adamw`` (default — torch-AdamW parity, pinned by
+    tests/test_train_trajectory_torch_parity.py) or ``adafactor`` —
+    factored second moments store O(rows+cols) per matrix instead of
+    O(rows*cols), cutting optimizer-state HBM ~2x vs AdamW's two full
+    moments (the standard TPU memory-efficient choice; composes with
+    parallel.shard_optimizer, which shards whatever state the optimizer
+    keeps). Momentum stays off (adafactor's default) so the memory saving
+    is real; ``adam_weight_decay`` maps to adafactor's decoupled
+    ``weight_decay_rate`` and the Adam betas/eps are ignored."""
     schedule = linear_warmup_decay_schedule(
         learning_rate, warmup_steps, max_train_steps
     )
     components = []
     if max_grad_norm and max_grad_norm > 0:
         components.append(optax.clip_by_global_norm(max_grad_norm))
-    components.append(
-        optax.adamw(
-            learning_rate=schedule,
-            b1=adam_beta1,
-            b2=adam_beta2,
-            eps=adam_epsilon,
-            weight_decay=adam_weight_decay,
+    if optimizer == "adafactor":
+        components.append(
+            optax.adafactor(
+                learning_rate=schedule,
+                weight_decay_rate=adam_weight_decay or None,
+            )
         )
-    )
+    elif optimizer == "adamw":
+        components.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=adam_beta1,
+                b2=adam_beta2,
+                eps=adam_epsilon,
+                weight_decay=adam_weight_decay,
+            )
+        )
+    else:
+        raise ValueError(
+            f"Unknown training.optimizer '{optimizer}' "
+            "(expected 'adamw' or 'adafactor')"
+        )
     tx = optax.chain(*components)
     if gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)

@@ -121,7 +121,7 @@ _KNOWN_SECTION_KEYS: Dict[str, set] = {
         "lr_warmup_steps", "gradient_accumulation_steps", "mixed_precision",
         "max_grad_norm", "kl_weight", "validation_epochs",
         "validation_steps", "max_steps_per_epoch_iterable",
-        "abort_on_nonfinite", "ema_decay", "stop_after_steps",
+        "abort_on_nonfinite", "ema_decay", "stop_after_steps", "optimizer",
     },
     "logging": {"log_interval", "report_to", "entity"},
     "saving": {
