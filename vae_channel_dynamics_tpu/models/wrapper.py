@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.naming import strip_vae_prefix
+from .distributions import DiagonalGaussianDistribution
+from .tiling import sliced_apply, tiled_apply
 from .vae import AutoencoderKL, CaptureTable, VAEConfig, flatten_stats
 
 logger = logging.getLogger(__name__)
@@ -51,6 +53,75 @@ class SDXLVAEWrapper:
         self._capture: CaptureTable = ()
         self._captured: Dict[str, np.ndarray] = {}
         self._jit_cache: Dict[Tuple, Any] = {}
+        # Tiled/sliced inference state (diffusers enable_tiling/enable_slicing
+        # parity — the wrapped AutoencoderKL's API in the reference). Applies
+        # to the inference helpers encode()/decode() only; forward() is the
+        # training contract and always runs untiled.
+        self.use_tiling = False
+        self.use_slicing = False
+        self.tile_sample_min_size = self.config.sample_size
+        self.tile_overlap_factor = 0.25
+
+    @property
+    def spatial_factor(self) -> int:
+        """Pixel-to-latent downsample factor (2^(len(block_out_channels)-1))."""
+        return 2 ** (len(self.config.block_out_channels) - 1)
+
+    # ------------------------------------------------------------------ #
+    # Tiled / sliced inference toggles (diffusers AutoencoderKL API parity)
+    def enable_tiling(
+        self,
+        tile_sample_min_size: Optional[int] = None,
+        tile_overlap_factor: Optional[float] = None,
+    ) -> None:
+        """Encode/decode images larger than ``tile_sample_min_size`` in
+        overlapping tiles with linear seam blending: activation memory scales
+        with the tile, not the image (a 16 GB chip can decode 2048px+).
+        Defaults mirror diffusers: tile = config.sample_size, overlap 0.25."""
+        if tile_sample_min_size is not None:
+            self.tile_sample_min_size = int(tile_sample_min_size)
+        if tile_overlap_factor is not None:
+            self.tile_overlap_factor = float(tile_overlap_factor)
+        f = self.spatial_factor
+        if self.tile_sample_min_size % f:
+            raise ValueError(
+                f"tile_sample_min_size ({self.tile_sample_min_size}) must be "
+                f"divisible by the model's spatial factor {f}"
+            )
+        if not 0.0 < self.tile_overlap_factor < 1.0:
+            raise ValueError("tile_overlap_factor must be in (0, 1)")
+        if self._tile_stride() <= 0 or self._tile_stride() >= self.tile_sample_min_size:
+            raise ValueError(
+                f"tile_overlap_factor {self.tile_overlap_factor} leaves no "
+                f"overlap (or no stride) at tile {self.tile_sample_min_size}"
+            )
+        self.use_tiling = True
+
+    def disable_tiling(self) -> None:
+        self.use_tiling = False
+
+    def enable_slicing(self) -> None:
+        """Run encode/decode one batch element at a time (diffusers
+        enable_slicing): batched inference at single-sample activation cost."""
+        self.use_slicing = True
+
+    def disable_slicing(self) -> None:
+        self.use_slicing = False
+
+    def _tile_stride(self) -> int:
+        """Pixel-space tile stride, snapped down to the spatial factor so the
+        latent-space grid is exact (diffusers: int(tile * (1 - overlap)))."""
+        f = self.spatial_factor
+        stride = int(self.tile_sample_min_size * (1.0 - self.tile_overlap_factor))
+        return max(stride // f * f, f)
+
+    def _inference_key(self) -> Tuple:
+        return (
+            self.use_tiling,
+            self.tile_sample_min_size if self.use_tiling else 0,
+            self._tile_stride() if self.use_tiling else 0,
+            self.use_slicing,
+        )
 
     # ------------------------------------------------------------------ #
     def _module(self, capture: CaptureTable = ()) -> AutoencoderKL:
@@ -153,13 +224,34 @@ class SDXLVAEWrapper:
         """Pixel values [-1, 1] -> scaled latents (scaling_factor applied).
 
         ``deterministic=True`` takes the posterior mode instead of sampling
-        (the inference analog of ``sample_posterior=False``)."""
-        key = ("encode", bool(deterministic))
+        (the inference analog of ``sample_posterior=False``). With tiling or
+        slicing enabled the moments are computed tile-/sample-wise (diffusers
+        tiled_encode semantics: moments are blended, then split)."""
+        key = ("encode", bool(deterministic)) + self._inference_key()
         if key not in self._jit_cache:
             module = self._module()
+            tiling, slicing = self.use_tiling, self.use_slicing
+            tile, stride, f = (
+                self.tile_sample_min_size,
+                self._tile_stride(),
+                self.spatial_factor,
+            )
 
             def fn(params, x, rng):
-                dist = module.apply({"params": params}, x, method=module.encode)
+                def moments_fn(t):
+                    return module.apply(
+                        {"params": params},
+                        t,
+                        method=lambda m, v: m.quant_conv(m.encoder(v)),
+                    )
+
+                def encode_one(xs):
+                    if tiling:
+                        return tiled_apply(moments_fn, xs, tile, stride, 1, f)
+                    return moments_fn(xs)
+
+                moments = sliced_apply(encode_one, x) if slicing else encode_one(x)
+                dist = DiagonalGaussianDistribution.from_moments(moments)
                 z = dist.mode() if deterministic else dist.sample(rng)
                 return z * self.scaling_factor
 
@@ -169,17 +261,31 @@ class SDXLVAEWrapper:
         return self._jit_cache[key](self.params, pixel_values, rng)
 
     def decode(self, latents: jax.Array) -> jax.Array:
-        """Scaled latents -> pixels clamped to [-1, 1]."""
-        key = ("decode",)
+        """Scaled latents -> pixels clamped to [-1, 1]. With tiling/slicing
+        enabled, decodes latent tiles / single samples and blends (diffusers
+        tiled_decode semantics; the [-1,1] clamp applies after assembly)."""
+        key = ("decode",) + self._inference_key()
         if key not in self._jit_cache:
             module = self._module()
+            tiling, slicing = self.use_tiling, self.use_slicing
+            f = self.spatial_factor
+            tile_lat, stride_lat = self.tile_sample_min_size // f, self._tile_stride() // f
 
             def fn(params, z):
-                img = module.apply(
-                    {"params": params},
-                    z / self.scaling_factor,
-                    method=module.decode,
-                )
+                def decode_fn(t):
+                    return module.apply(
+                        {"params": params},
+                        t,
+                        method=lambda m, v: m.decoder(m.post_quant_conv(v)),
+                    )
+
+                def decode_one(zs):
+                    if tiling:
+                        return tiled_apply(decode_fn, zs, tile_lat, stride_lat, f, 1)
+                    return decode_fn(zs)
+
+                z = z / self.scaling_factor
+                img = sliced_apply(decode_one, z) if slicing else decode_one(z)
                 return jnp.clip(img, -1.0, 1.0)
 
             self._jit_cache[key] = jax.jit(fn)

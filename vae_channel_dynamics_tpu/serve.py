@@ -47,6 +47,16 @@ def parse_args(argv=None):
                    help="Mid-block attention: auto picks chunked online "
                         "softmax above 4096 tokens (>512px) — the 1024px "
                         "memory fix; naive is fastest at small batch.")
+    p.add_argument("--tile_size", type=int, default=0,
+                   help="Enable tiled inference with this pixel tile size "
+                        "(diffusers enable_tiling): activations scale with "
+                        "the tile, so images larger than HBM allows decode "
+                        "in one pass become feasible. 0 = off.")
+    p.add_argument("--tile_overlap", type=float, default=0.25,
+                   help="Tile overlap fraction for seam blending.")
+    p.add_argument("--slicing", action="store_true",
+                   help="Process one image per device pass (diffusers "
+                        "enable_slicing): batch memory at single-sample cost.")
     return p.parse_args(argv)
 
 
@@ -79,6 +89,14 @@ def main(argv=None) -> int:
         config=config, params=params, dtype=jnp.bfloat16,
         attn_impl=args.attention_impl,
     )
+    if args.tile_size:
+        wrapper.enable_tiling(args.tile_size, args.tile_overlap)
+    if args.slicing:
+        wrapper.enable_slicing()
+    # Tiling/slicing live on the inference helpers; reconstruct then routes
+    # encode -> decode (same deterministic math as forward(), plus the
+    # inference [-1,1] clamp) instead of the training-contract forward pass.
+    tiled_reconstruct = bool(args.tile_size or args.slicing)
 
     t0 = time.perf_counter()
     n_processed = 0
@@ -115,10 +133,15 @@ def main(argv=None) -> int:
                 np.save(os.path.join(args.output, f"latents_{bi:05d}.npy"), z)
                 n_processed += z.shape[0]
             else:  # reconstruct
-                out = wrapper.forward(
-                    pixels, sample_posterior=not args.deterministic
-                )
-                recon = np.asarray(jax.device_get(out["reconstruction"]))
+                if tiled_reconstruct:
+                    recon_dev = wrapper.decode(
+                        wrapper.encode(pixels, deterministic=args.deterministic)
+                    )
+                else:
+                    recon_dev = wrapper.forward(
+                        pixels, sample_posterior=not args.deterministic
+                    )["reconstruction"]
+                recon = np.asarray(jax.device_get(recon_dev))
                 px = np.asarray(batch["pixel_values"])
                 mse_sum += float(np.mean((recon - px) ** 2)) * recon.shape[0]
                 for i in range(recon.shape[0]):
