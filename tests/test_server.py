@@ -516,3 +516,35 @@ def test_graceful_shutdown_drains_inflight_requests():
     # idempotent
     srv.graceful_shutdown(timeout=1)
     srv.shutdown()
+
+
+def test_tiled_server_reconstruct_and_encode():
+    # A tiling+slicing daemon (server.py --tile_size/--slicing): /reconstruct
+    # routes encode->decode through the tiled inference helpers; every
+    # endpoint keeps its shape/content contract.
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    wrapper.enable_tiling(tile_sample_min_size=32, tile_overlap_factor=0.25)
+    wrapper.enable_slicing()
+    srv = VAEServer(
+        wrapper, resolution=64, max_batch=2, max_wait_ms=20.0, port=0
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        body = _png_bytes(11, size=64)
+        status, headers, png = _post(srv, "/reconstruct?deterministic=true", body)
+        assert status == 200
+        img = Image.open(io.BytesIO(png))
+        assert img.size == (64, 64)
+        assert float(headers["X-VCD-MSE"]) >= 0.0
+
+        status, _, latents_npy = _post(srv, "/encode", body)
+        assert status == 200
+        z = np.load(io.BytesIO(latents_npy))
+        assert z.shape == (32, 32, 4)  # tiny config: one downsample
+
+        status, _, png2 = _post(srv, "/decode", latents_npy)
+        assert status == 200
+        assert np.asarray(Image.open(io.BytesIO(png2))).shape == (64, 64, 3)
+    finally:
+        srv.shutdown()

@@ -372,9 +372,20 @@ class VAEServer:
         elif op == "decode":
             y = self.wrapper.decode(x)
         elif op == "reconstruct":
-            y = self.wrapper.forward(x, sample_posterior=not deterministic)[
-                "reconstruction"
-            ]
+            if getattr(self.wrapper, "use_tiling", False) or getattr(
+                self.wrapper, "use_slicing", False
+            ):
+                # Tiling/slicing live on the inference helpers; route
+                # encode->decode (same deterministic math as forward(),
+                # plus the inference [-1,1] clamp) so big images stay
+                # tile-bounded instead of tracing the untiled forward.
+                y = self.wrapper.decode(
+                    self.wrapper.encode(x, deterministic=deterministic)
+                )
+            else:
+                y = self.wrapper.forward(
+                    x, sample_posterior=not deterministic
+                )["reconstruction"]
         else:
             raise ValueError(f"unknown op {op!r}")
         # slice the padding off ON DEVICE before fetching: a single-item
@@ -619,6 +630,17 @@ def parse_args(argv=None):
                    help="Mid-block attention: auto picks chunked online "
                         "softmax above 4096 tokens (>512px) — the 1024px "
                         "memory fix; naive is fastest at small batch.")
+    p.add_argument("--tile_size", type=int, default=0,
+                   help="Enable tiled inference with this pixel tile size "
+                        "(wrapper.enable_tiling): endpoint activation "
+                        "memory scales with the tile, so a high --resolution "
+                        "daemon fits in HBM. 0 = off.")
+    p.add_argument("--tile_overlap", type=float, default=0.25,
+                   help="Tile overlap fraction for seam blending.")
+    p.add_argument("--slicing", action="store_true",
+                   help="Process one image per device pass "
+                        "(wrapper.enable_slicing): batched endpoints at "
+                        "single-sample activation cost.")
     p.add_argument("--exported_dir", default=None,
                    help="Serve pinned StableHLO artifacts from this export "
                         "dir (tools/export_model.py) instead of re-tracing "
@@ -647,6 +669,13 @@ def main(argv=None) -> int:
     if args.exported_dir:
         from .tools.export_model import ExportedVAEWrapper
 
+        if args.tile_size or args.slicing:
+            logger.error(
+                "--tile_size/--slicing require the live model: exported "
+                "StableHLO artifacts run their pinned untiled programs. "
+                "Re-export or serve via --checkpoint_path alone."
+            )
+            return 2
         wrapper = ExportedVAEWrapper(args.exported_dir, params)
         if wrapper.resolution != args.resolution:
             logger.info(
@@ -661,6 +690,10 @@ def main(argv=None) -> int:
             config=config, params=params, dtype=jnp.bfloat16,
             attn_impl=args.attention_impl,
         )
+        if args.tile_size:
+            wrapper.enable_tiling(args.tile_size, args.tile_overlap)
+        if args.slicing:
+            wrapper.enable_slicing()
     server = VAEServer(
         wrapper,
         resolution=resolution,
