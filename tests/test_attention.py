@@ -109,8 +109,9 @@ def test_use_chunked_policy():
     assert use_chunked("auto", AUTO_CHUNK_THRESHOLD + 1)
     assert use_chunked("chunked", 4)
     assert not use_chunked("naive", 10**6)
+    assert not use_chunked("flash", 4)  # flash is its own impl, not chunked
     with pytest.raises(ValueError):
-        use_chunked("flash", 4)
+        use_chunked("blocked", 4)
 
 
 def test_full_model_parity_naive_vs_chunked():
@@ -174,6 +175,6 @@ def test_resolve_model_plumbs_attention_impl():
     with pytest.raises(ValueError, match="attention_impl"):
         resolve_model(
             {"architecture": "tiny", "pretrained_vae_name": None,
-             "attention_impl": "flash"},
+             "attention_impl": "blocked"},
             jnp.float32,
         )

@@ -1,0 +1,172 @@
+"""Fused Pallas flash-attention (ops/pallas_attention.py): numerics parity
+with the naive and chunked paths, gradient parity, eligibility fallback,
+policy plumbing, and per-shard execution under a data mesh.
+
+On CPU the kernel runs in Pallas interpret mode — the same program the TPU
+compiles (chip timings in PERF.md). The op replaces the mid-block attention
+the reference reaches through diffusers (src/models/sdxl_vae_wrapper.py:42-77)
+when ``model.attention_impl: flash`` is selected."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_channel_dynamics_tpu.models.vae import AttentionBlock
+from vae_channel_dynamics_tpu.ops import pallas_attention
+from vae_channel_dynamics_tpu.ops.attention import (
+    chunked_attention,
+    resolve_impl,
+)
+from vae_channel_dynamics_tpu.ops.pallas_attention import (
+    eligible,
+    flash_attention,
+)
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _naive(q, k, v, scale, dtype, prec):
+    logits = jnp.einsum(
+        "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum(
+        "bqk,bkc->bqc", attn, v, preferred_element_type=dtype, precision=prec,
+    )
+
+
+def _qkv(b=2, n=256, c=128, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (b, n, c)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+def test_flash_matches_naive_fp32():
+    q, k, v = _qkv()
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    out = flash_attention(
+        q, k, v, scale=scale, out_dtype=jnp.float32, precision=HIGHEST
+    )
+    ref = _naive(q, k, v, scale, jnp.float32, HIGHEST)
+    # only block-reduction reassociation differs
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_flash_matches_chunked_bf16():
+    q, k, v = _qkv(dtype=jnp.bfloat16, seed=1)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    prec = jax.lax.Precision.DEFAULT
+    out = flash_attention(
+        q, k, v, scale=scale, out_dtype=jnp.bfloat16, precision=prec
+    )
+    ref = chunked_attention(
+        q, k, v, scale=scale, out_dtype=jnp.bfloat16, precision=prec
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_flash_gradients_match_chunked():
+    """The custom VJP delegates to chunked_attention's gradient, so grads
+    must agree with differentiating the chunked path directly (same primals,
+    same cotangents — only jit/fusion layout may differ)."""
+    q, k, v = _qkv(b=1, n=128, c=128, seed=2)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v, scale=scale, out_dtype=jnp.float32,
+                 precision=HIGHEST)
+        return jnp.sum(out * out)
+
+    gf = jax.grad(lambda *a: loss(flash_attention, *a), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    gc = jax.grad(lambda *a: loss(chunked_attention, *a), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    for a, b, name in zip(gf, gc, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=f"d{name}",
+        )
+
+
+def test_eligibility():
+    assert eligible(256, 128)
+    assert eligible(16384, 512)  # the 1024px SDXL mid block
+    assert not eligible(100, 128)   # no block divides the token count
+    assert not eligible(256, 64)    # channels not lane-aligned
+    assert not eligible(144, 512)   # 96px: 144 tokens
+
+
+def test_resolve_impl_flash():
+    assert resolve_impl("flash", 64) == "flash"
+    assert resolve_impl("auto", 64) == "naive"
+    assert resolve_impl("auto", 8192) == "chunked"
+    try:
+        resolve_impl("bogus", 64)
+    except ValueError as e:
+        assert "flash" in str(e)
+    else:
+        raise AssertionError("unknown impl accepted")
+
+
+def test_attention_block_flash_fallback_when_ineligible():
+    """attn_impl='flash' on a shape the kernel can't take (c=64 channels,
+    not lane-aligned) must silently take the chunked path — identical
+    output to attn_impl='chunked' with the same params."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 5, 64), jnp.float32)
+    blk_f = AttentionBlock(channels=64, attn_impl="flash", full_name="mid")
+    blk_c = AttentionBlock(channels=64, attn_impl="chunked", full_name="mid")
+    params = blk_f.init(jax.random.PRNGKey(4), x)
+    out_f = blk_f.apply(params, x)
+    out_c = blk_c.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_c))
+
+
+def test_attention_block_flash_matches_naive_when_eligible():
+    """Full module path (GN -> qkv -> flash kernel -> out proj -> residual)
+    against the naive module at an eligible shape (256 tokens, 128 ch)."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 128),
+                          jnp.float32)
+    blk_f = AttentionBlock(channels=128, attn_impl="flash", full_name="mid")
+    blk_n = AttentionBlock(channels=128, attn_impl="naive", full_name="mid")
+    params = blk_f.init(jax.random.PRNGKey(6), x)
+    out_f = blk_f.apply(params, x)
+    out_n = blk_n.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                               rtol=3e-5, atol=3e-6)
+
+
+def test_flash_under_data_mesh_matches_single_device():
+    """With the shard mesh installed, flash_attention shard_maps itself over
+    the data axis (each device computes its local batch block); softmax is
+    per-sample so results must match the unmeshed kernel exactly up to
+    layout-induced last-place rounding."""
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    q, k, v = _qkv(b=8, n=128, c=128, seed=7)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    kw = dict(scale=scale, out_dtype=jnp.float32, precision=HIGHEST)
+    ref = flash_attention(q, k, v, **kw)
+
+    mesh = make_mesh(8)
+    assert pallas_attention.mesh_supported(mesh)
+    pallas_attention.set_shard_mesh(mesh)
+    try:
+        out = flash_attention(q, k, v, **kw)
+    finally:
+        pallas_attention.set_shard_mesh(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_flash_mesh_not_supported_for_spatial():
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, spatial=2)
+    assert not pallas_attention.mesh_supported(mesh)

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-from ..ops.attention import chunked_attention, use_chunked
+from ..ops.attention import chunked_attention, resolve_impl
 from ..ops.group_norm import group_norm, silu
 from ..ops.stats import channel_stats
 from .distributions import DiagonalGaussianDistribution
@@ -550,9 +550,11 @@ class AttentionBlock(TapModule):
     ``attn_impl`` selects the softmax materialization: ``naive`` builds the
     full (tokens x tokens) logits matrix; ``chunked`` streams key chunks with
     online softmax (ops/attention.py) — O(N*chunk) memory instead of O(N^2),
-    the 1024px enabler; ``auto`` (default) picks naive up to 4096 tokens
-    (<=512px mid block) and chunked above, leaving every measured <=512px
-    program unchanged."""
+    the 1024px enabler; ``flash`` runs the fused Pallas kernel
+    (ops/pallas_attention.py) — chunked's memory at naive-or-better speed
+    (falls back to chunked when its shape constraints don't hold);
+    ``auto`` (default) picks naive up to 4096 tokens (<=512px mid block)
+    and chunked above, leaving every measured <=512px program unchanged."""
 
     channels: int = 0
     num_groups: int = 32
@@ -585,7 +587,19 @@ class AttentionBlock(TapModule):
         q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
         scale = 1.0 / math.sqrt(c)
         prec = _precision_for(self.dtype)
-        if use_chunked(self.attn_impl, hh * ww):
+        impl = resolve_impl(self.attn_impl, hh * ww)
+        if impl == "flash":
+            from ..ops import pallas_attention
+
+            if not pallas_attention.eligible(hh * ww, c):
+                impl = "chunked"  # shape-ineligible: memory-safe fallback
+        if impl == "flash":
+            from ..ops.pallas_attention import flash_attention
+
+            h = flash_attention(
+                q, k, v, scale=scale, out_dtype=self.dtype, precision=prec,
+            )
+        elif impl == "chunked":
             h = chunked_attention(
                 q, k, v, scale=scale, out_dtype=self.dtype, precision=prec,
             )

@@ -123,15 +123,22 @@ def chunked_attention(
     return (acc / l).astype(out_dtype)
 
 
-def use_chunked(attn_impl: str, num_tokens: int) -> bool:
-    """Resolve the ``model.attention_impl`` policy for a given token count."""
-    if attn_impl == "chunked":
-        return True
-    if attn_impl == "naive":
-        return False
+def resolve_impl(attn_impl: str, num_tokens: int) -> str:
+    """Resolve the ``model.attention_impl`` policy for a given token count.
+
+    Returns ``'naive'``, ``'chunked'`` or ``'flash'`` (the fused Pallas
+    kernel, ops/pallas_attention.py — callers fall back to ``'chunked'``
+    when the kernel's shape constraints don't hold)."""
+    if attn_impl in ("naive", "chunked", "flash"):
+        return attn_impl
     if attn_impl != "auto":
         raise ValueError(
             f"Unknown attention_impl {attn_impl!r}; "
-            "expected 'auto', 'naive' or 'chunked'."
+            "expected 'auto', 'naive', 'chunked' or 'flash'."
         )
-    return num_tokens > AUTO_CHUNK_THRESHOLD
+    return "chunked" if num_tokens > AUTO_CHUNK_THRESHOLD else "naive"
+
+
+def use_chunked(attn_impl: str, num_tokens: int) -> bool:
+    """Back-compat boolean view of :func:`resolve_impl` (pre-``flash``)."""
+    return resolve_impl(attn_impl, num_tokens) == "chunked"

@@ -43,10 +43,11 @@ def parse_args(argv=None):
                    type=lambda x: str(x).lower() == "true",
                    help="Use the posterior mode instead of sampling at encode.")
     p.add_argument("--attention_impl", default="auto",
-                   choices=["auto", "naive", "chunked"],
+                   choices=["auto", "naive", "chunked", "flash"],
                    help="Mid-block attention: auto picks chunked online "
                         "softmax above 4096 tokens (>512px) — the 1024px "
-                        "memory fix; naive is fastest at small batch.")
+                        "memory fix; naive is fastest at small batch; flash is "
+                        "the fused Pallas kernel (chunked memory at naive speed).")
     p.add_argument("--tile_size", type=int, default=0,
                    help="Enable tiled inference with this pixel tile size "
                         "(diffusers enable_tiling): activations scale with "

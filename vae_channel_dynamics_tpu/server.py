@@ -626,10 +626,11 @@ def parse_args(argv=None):
     p.add_argument("--no_warmup", action="store_true",
                    help="Skip compiling the endpoints before accepting traffic.")
     p.add_argument("--attention_impl", default="auto",
-                   choices=["auto", "naive", "chunked"],
+                   choices=["auto", "naive", "chunked", "flash"],
                    help="Mid-block attention: auto picks chunked online "
                         "softmax above 4096 tokens (>512px) — the 1024px "
-                        "memory fix; naive is fastest at small batch.")
+                        "memory fix; naive is fastest at small batch; flash is "
+                        "the fused Pallas kernel (chunked memory at naive speed).")
     p.add_argument("--tile_size", type=int, default=0,
                    help="Enable tiled inference with this pixel tile size "
                         "(wrapper.enable_tiling): endpoint activation "

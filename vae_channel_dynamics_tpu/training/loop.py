@@ -76,13 +76,14 @@ def resolve_model(model_config: Dict[str, Any], dtype) -> SDXLVAEWrapper:
 
     ``model.attention_impl`` selects the mid-block attention: ``auto``
     (naive <=4096 tokens, chunked above — the 1024px memory fix),
-    ``naive``, or ``chunked`` (ops/attention.py)."""
+    ``naive``, ``chunked`` (ops/attention.py), or ``flash`` (the fused
+    Pallas kernel, ops/pallas_attention.py)."""
     impl = str(model_config.get("kernel_impl", "auto"))
     attn_impl = str(model_config.get("attention_impl", "auto"))
-    if attn_impl not in ("auto", "naive", "chunked"):
+    if attn_impl not in ("auto", "naive", "chunked", "flash"):
         raise ValueError(
             f"Unknown model.attention_impl {attn_impl!r}; expected "
-            "'auto', 'naive' or 'chunked'."
+            "'auto', 'naive', 'chunked' or 'flash'."
         )
     # model.remat: "none" (default) | "full" (block remat, ~14% slower,
     # minimum memory) | "conv" (save conv outputs, recompute elementwise
@@ -146,6 +147,7 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def train(self) -> Dict[str, Any]:
         self._installed_shard_mesh = False
+        self._installed_attn_shard_mesh = False
         try:
             return self._train_impl()
         finally:
@@ -159,6 +161,10 @@ class Trainer:
                 from ..ops import pallas_resnet
 
                 pallas_resnet.set_shard_mesh(None)
+            if self._installed_attn_shard_mesh:
+                from ..ops import pallas_attention
+
+                pallas_attention.set_shard_mesh(None)
 
     def _train_impl(self) -> Dict[str, Any]:
         config = self.config
@@ -228,6 +234,28 @@ class Trainer:
                     "kernel_impl='auto'.", dict(mesh.shape),
                 )
                 wrapper.impl = "auto"
+        if wrapper.attn_impl == "flash" and mesh.size > 1:
+            from ..ops import pallas_attention
+
+            if pallas_attention.mesh_supported(mesh):
+                # the batch axis is embarrassingly parallel: the kernel
+                # runs per-shard via shard_map on each device's local block
+                pallas_attention.set_shard_mesh(mesh)
+                self._installed_attn_shard_mesh = True
+                logger.info(
+                    "model.attention_impl='flash' on a %d-device data mesh: "
+                    "the kernel runs per-shard via shard_map.", mesh.size,
+                )
+            else:
+                # a sharded spatial axis would split the token dimension
+                # mid-softmax; multi-slice meshes add a non-data axis the
+                # shard_map wrapper doesn't partition — fall back
+                logger.warning(
+                    "model.attention_impl='flash' only supports pure "
+                    "data-parallel meshes, not %s — falling back to "
+                    "attention_impl='auto'.", dict(mesh.shape),
+                )
+                wrapper.attn_impl = "auto"
         vae_config = wrapper.config
         params = wrapper.params
 
