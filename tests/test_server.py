@@ -548,3 +548,26 @@ def test_tiled_server_reconstruct_and_encode():
         assert np.asarray(Image.open(io.BytesIO(png2))).shape == (64, 64, 3)
     finally:
         srv.shutdown()
+
+
+def test_resolve_serving_attention_impl_policy():
+    """Serving is always single-device, so 'auto' upgrades to the fused
+    Pallas kernel above the chunked threshold when the mid-block shape
+    qualifies; explicit impls and small/odd shapes pass through."""
+    from vae_channel_dynamics_tpu.server import resolve_serving_attention_impl
+
+    sdxl = VAEConfig.sdxl()  # /8 downsampling, 512-ch mid block
+    # 1024px -> 16384 tokens: above threshold and kernel-eligible
+    assert resolve_serving_attention_impl("auto", 1024, sdxl) == "flash"
+    # 256px -> 1024 tokens: below threshold, stays auto (-> naive in-model)
+    assert resolve_serving_attention_impl("auto", 256, sdxl) == "auto"
+    # tiled 1024px serving passes the TILE as effective resolution
+    assert resolve_serving_attention_impl("auto", 512, sdxl) == "auto"
+    # explicit impls are never overridden
+    for impl in ("naive", "chunked", "flash"):
+        assert resolve_serving_attention_impl(impl, 1024, sdxl) == impl
+    # tiny arch mid block (32 ch, not lane-aligned): ineligible even when
+    # the token count clears the threshold
+    tiny = VAEConfig.tiny()
+    big = 8 * (2 ** (len(tiny.block_out_channels) - 1)) * 64
+    assert resolve_serving_attention_impl("auto", big, tiny) == "auto"

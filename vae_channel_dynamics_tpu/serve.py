@@ -46,8 +46,10 @@ def parse_args(argv=None):
                    choices=["auto", "naive", "chunked", "flash"],
                    help="Mid-block attention: auto picks chunked online "
                         "softmax above 4096 tokens (>512px) — the 1024px "
-                        "memory fix; naive is fastest at small batch; flash is "
-                        "the fused Pallas kernel (chunked memory at naive speed).")
+                        "memory fix (serving is single-device, so auto prefers "
+                        "flash there when the shape qualifies); naive is "
+                        "fastest at small batch; flash is the fused Pallas "
+                        "kernel (chunked memory at naive-or-better speed).")
     p.add_argument("--tile_size", type=int, default=0,
                    help="Enable tiled inference with this pixel tile size "
                         "(diffusers enable_tiling): activations scale with "
@@ -86,9 +88,15 @@ def main(argv=None) -> int:
     if not os.path.isdir(vae_dir):
         vae_dir = args.checkpoint_path
     config, params = model_io.load_model_dir(vae_dir)
+    from .server import resolve_serving_attention_impl
+
+    attn_impl = resolve_serving_attention_impl(
+        args.attention_impl, args.tile_size or args.resolution, config,
+        logger=logger,
+    )
     wrapper = SDXLVAEWrapper(
         config=config, params=params, dtype=jnp.bfloat16,
-        attn_impl=args.attention_impl,
+        attn_impl=attn_impl,
     )
     if args.tile_size:
         wrapper.enable_tiling(args.tile_size, args.tile_overlap)
