@@ -82,7 +82,8 @@ def time_chained(recon, params, x, iters=ITERS, warmup=1):
 
 def main() -> int:
     cfg = getattr(VAEConfig, ARCH)()
-    w = SDXLVAEWrapper(config=cfg, seed=0, dtype=jnp.bfloat16, attn_impl="auto")
+    w = SDXLVAEWrapper(config=cfg, seed=0, dtype=jnp.bfloat16,
+                       attn_impl=os.environ.get("VCD_TILE_ATTN", "auto"))
     f = w.spatial_factor
 
     for res in RESOLUTIONS:
