@@ -120,9 +120,10 @@ def model_bench():
         out = module.apply({"params": params}, pixels, sample_posterior=False)
         return out["reconstruction"]
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 1024, 1024, 3),
+    mb = int(os.environ.get("VCD_FLASH_MODEL_B", "1"))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (mb, 1024, 1024, 3),
                            jnp.bfloat16)
-    tag = dict(case="model", impl="flash", resolution=1024, batch=1)
+    tag = dict(case="model", impl="flash", resolution=1024, batch=mb)
     try:
         t0 = time.time()
         compiled = fwd.lower(params, x).compile()
@@ -141,7 +142,7 @@ def model_bench():
         chain(3)
         t1 = chain(2)
         t2 = chain(2 + ITERS)
-        ms = (t2 - t1) / ITERS * 1e3
+        ms = (t2 - t1) / ITERS * 1e3 / mb
         emit(**tag, ms_per_image=round(ms, 2), compile_s=round(compile_s, 1),
              temp_gb=None if temp is None else round(temp / 2**30, 3))
     except Exception as e:  # noqa: BLE001
