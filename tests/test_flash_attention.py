@@ -170,3 +170,59 @@ def test_flash_mesh_not_supported_for_spatial():
 
     mesh = make_mesh(8, spatial=2)
     assert not pallas_attention.mesh_supported(mesh)
+
+
+def test_trainer_installs_and_clears_flash_shard_mesh(tmp_path):
+    """attention_impl='flash' under the (8-device CPU) data mesh: the loop
+    installs the module-global shard mesh before tracing and clears it on
+    exit (training/loop.py — the same lifecycle as kernel_impl='fused').
+    The tiny arch is shape-ineligible so the kernel itself falls back to
+    chunked in-model; the install/cleanup path is what this pins."""
+    from vae_channel_dynamics_tpu.training.loop import Trainer
+
+    config = {
+        "project_name": "t",
+        "run_name": "flash_mesh",
+        "output_dir": str(tmp_path),
+        "seed": 0,
+        "model": {"pretrained_vae_name": None, "architecture": "tiny",
+                  "attention_impl": "flash"},
+        "data": {
+            "dataset_name": "synthetic://shapes",
+            "resolution": 16,
+            "max_samples": 16,
+            "batch_size": 1,
+            "num_workers": 0,
+            "do_validation": False,
+        },
+        "training": {
+            "num_train_epochs": 1,
+            "stop_after_steps": 2,
+            "learning_rate": "1e-4",
+            "lr_warmup_steps": 1,
+            "kl_weight": "1e-6",
+            "mixed_precision": "no",
+        },
+        "logging": {"log_interval": 1, "report_to": "jsonl"},
+        "saving": {"save_interval_steps": 0},
+        "tracking": {"enabled": False},
+        "dead_neuron_tracking": {"enabled": False},
+        "logit_lens": {"enabled": False},
+        "classification": {"enabled": False},
+    }
+    assert pallas_attention._SHARD_MESH is None
+    installs = []
+    real_set = pallas_attention.set_shard_mesh
+
+    def recording_set(mesh):
+        installs.append(mesh)
+        real_set(mesh)
+
+    pallas_attention.set_shard_mesh = recording_set
+    try:
+        Trainer(config).train()
+    finally:
+        pallas_attention.set_shard_mesh = real_set
+    # installed exactly once with the data mesh, then cleared on exit
+    assert [m is None for m in installs] == [False, True]
+    assert pallas_attention._SHARD_MESH is None

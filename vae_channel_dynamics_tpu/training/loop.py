@@ -954,7 +954,12 @@ class Trainer:
                 # the save predicate is deterministic and identical on all
                 # processes, so _for_save (a collective under multi-host
                 # ZeRO) runs on every process; only the write is main-only
-                if global_step % save_interval_steps == 0:
+                # deviation from the reference (train.py:358 divides by the
+                # raw config value): interval 0/negative = periodic saving
+                # disabled instead of ZeroDivisionError mid-run
+                if save_interval_steps > 0 and (
+                    global_step % save_interval_steps == 0
+                ):
                     save_state = _for_save(state)
                     if is_main:
                         ckpt_path = os.path.join(
