@@ -202,8 +202,12 @@ def test_trainer_installs_and_clears_flash_shard_mesh(tmp_path):
             "lr_warmup_steps": 1,
             "kl_weight": "1e-6",
             "mixed_precision": "no",
+            # 0 must clamp to 1, not ZeroDivisionError (loop.py)
+            "gradient_accumulation_steps": 0,
         },
-        "logging": {"log_interval": 1, "report_to": "jsonl"},
+        # interval 0 = log every step (clamped), save disabled — the
+        # divide-by-zero hazards the reference inherits from train.py:358
+        "logging": {"log_interval": 0, "report_to": "jsonl"},
         "saving": {"save_interval_steps": 0},
         "tracking": {"enabled": False},
         "dead_neuron_tracking": {"enabled": False},

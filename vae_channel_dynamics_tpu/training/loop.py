@@ -343,7 +343,7 @@ class Trainer:
 
         # ---------------- schedule / optimizer ---------------- #
         tc = self.training_config
-        accum = as_int(tc.get("gradient_accumulation_steps"), 1)
+        accum = max(1, as_int(tc.get("gradient_accumulation_steps"), 1))
         try:
             num_samples = len(train_dataset)
             steps_per_epoch = max(
@@ -557,7 +557,9 @@ class Trainer:
         )
 
         # ---------------- intervals ---------------- #
-        log_interval = as_int(self.logging_config.get("log_interval"), 10)
+        # clamped to >=1 (log every step), never disabled: the non-finite
+        # loss failure detection rides the logging interval
+        log_interval = max(1, as_int(self.logging_config.get("log_interval"), 10))
         save_interval_steps = as_int(
             self.saving_config.get("save_interval_steps"), 500
         )
@@ -846,7 +848,11 @@ class Trainer:
                             )
 
                 # --- intervention (train.py:315-328) ---
-                if handler is not None and global_step % intervention_interval == 0:
+                if (
+                    handler is not None
+                    and intervention_interval > 0
+                    and global_step % intervention_interval == 0
+                ):
                     if classification_output:
                         new_params = handler.intervene(
                             state.params, classification_output, global_step,
