@@ -33,7 +33,8 @@ def main():
     rng = np.random.default_rng(0)
     batch_np = rng.uniform(-1, 1, (1, 1024, 1024, 3)).astype(np.float32)
     mask = np.ones((1,), np.float32)
-    for attn_impl in ("flash",):
+    impls = sys.argv[1:] or ["flash"]
+    for attn_impl in impls:
         step, state = bench.build_step(
             cfg, 1, 1024, (), params, remat="full", attn_impl=attn_impl,
         )

@@ -71,9 +71,10 @@ def test_flash_matches_chunked_bf16():
 
 
 def test_flash_gradients_match_chunked():
-    """The custom VJP delegates to chunked_attention's gradient, so grads
-    must agree with differentiating the chunked path directly (same primals,
-    same cotangents — only jit/fusion layout may differ)."""
+    """The backward is its own pair of fused Pallas kernels (FlashAttention-2:
+    probability tiles rematerialized from q/k/lse, dK/dV and dQ accumulated in
+    VMEM scratch) — grads must agree with differentiating the chunked scan AND
+    the naive einsum path at fp32/HIGHEST."""
     q, k, v = _qkv(b=1, n=128, c=128, seed=2)
     scale = 1.0 / np.sqrt(q.shape[-1])
 
@@ -88,10 +89,73 @@ def test_flash_gradients_match_chunked():
     gc = jax.grad(lambda *a: loss(chunked_attention, *a), argnums=(0, 1, 2))(
         q, k, v
     )
+    gn = jax.grad(
+        lambda *a: loss(
+            lambda q_, k_, v_, **kw: _naive(q_, k_, v_, kw["scale"],
+                                            kw["out_dtype"], kw["precision"]),
+            *a,
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b, c_, name in zip(gf, gc, gn, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=f"d{name} vs chunked",
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c_), rtol=1e-5, atol=1e-6,
+            err_msg=f"d{name} vs naive",
+        )
+
+
+def test_flash_gradients_rectangular():
+    """nq != nk exercises the two backward grids' distinct index maps
+    (dK/dV iterates queries innermost, dQ iterates keys innermost)."""
+    q = jax.random.normal(jax.random.PRNGKey(20), (2, 256, 128), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(21), (2, 384, 128), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(22), (2, 384, 128), jnp.float32)
+    scale = 1.0 / np.sqrt(128)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.sin(fn(q, k, v, scale=scale,
+                                  out_dtype=jnp.float32, precision=HIGHEST)))
+
+    gf = jax.grad(lambda *a: loss(flash_attention, *a), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    gc = jax.grad(lambda *a: loss(chunked_attention, *a), argnums=(0, 1, 2))(
+        q, k, v
+    )
     for a, b, name in zip(gf, gc, "qkv"):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
             err_msg=f"d{name}",
+        )
+
+
+def test_flash_gradients_bf16():
+    """bf16 compute: the backward casts the rematerialized probability and
+    ds tiles to the compute dtype before the MXU matmuls (the same policy as
+    the forward's PV matmul), so grads track chunked's within bf16 noise."""
+    q, k, v = _qkv(dtype=jnp.bfloat16, seed=4)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    prec = jax.lax.Precision.DEFAULT
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v, scale=scale, out_dtype=jnp.bfloat16, precision=prec)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gf = jax.grad(lambda *a: loss(flash_attention, *a), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    gc = jax.grad(lambda *a: loss(chunked_attention, *a), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    for a, b, name in zip(gf, gc, "qkv"):
+        assert a.dtype == jnp.bfloat16, f"d{name} dtype"
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-1, atol=1e-1, err_msg=f"d{name}",
         )
 
 
@@ -165,11 +229,103 @@ def test_flash_under_data_mesh_matches_single_device():
                                rtol=1e-6, atol=1e-7)
 
 
-def test_flash_mesh_not_supported_for_spatial():
+def test_flash_under_spatial_mesh_matches_single_device():
+    """Spatially-sharded mesh: the token axis is split, so flash_attention
+    goes sequence-parallel — each shard all-gathers K/V along ``spatial``
+    and runs the kernel over its local query rows. Softmax rows are
+    independent, so forward AND gradients must match the unmeshed kernel
+    (the all-gather transposes to a reduce-scatter for dK/dV)."""
     from vae_channel_dynamics_tpu.parallel import make_mesh
 
+    # batch divisible by every data-axis size below (4 and 2) — the same
+    # invariant training maintains by sharding the batch over `data`
+    q, k, v = _qkv(b=4, n=512, c=128, seed=8)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    kw = dict(scale=scale, out_dtype=jnp.float32, precision=HIGHEST)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, **kw)))
+
+    ref = flash_attention(q, k, v, **kw)
+    gref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for spatial in (2, 4):
+        mesh = make_mesh(8, spatial=spatial)
+        assert pallas_attention.mesh_supported(mesh)
+        pallas_attention.set_shard_mesh(mesh)
+        try:
+            out = flash_attention(q, k, v, **kw)
+            g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            pallas_attention.set_shard_mesh(None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7)
+        for a, b, name in zip(g, gref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"spatial={spatial} d{name}",
+            )
+
+
+def test_flash_attention_block_under_gspmd_spatial_mesh():
+    """The composition the 1024px multi-chip recipe runs: the AttentionBlock
+    traced under jit with GSPMD-sharded NHWC inputs (batch over ``data``,
+    H over ``spatial``). GSPMD propagates the H sharding through the
+    reshape to the token axis, shard_map reshards to its declared specs,
+    and the kernel runs sequence-parallel. Value AND parameter gradients
+    must match the unmeshed module. (Kept at the smallest eligible shape —
+    128 ch, 32x32 — per the heavy-mesh-compile suite constraint.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (4, 32, 32, 128),
+                          jnp.float32)
+    blk = AttentionBlock(channels=128, attn_impl="flash", full_name="mid")
+    params = blk.init(jax.random.PRNGKey(12), x)
+
+    def loss(p, x):
+        return jnp.sum(jnp.sin(blk.apply(p, x)))
+
+    ref_val, ref_grad = jax.value_and_grad(loss)(params, x)
+
     mesh = make_mesh(8, spatial=2)
-    assert not pallas_attention.mesh_supported(mesh)
+    pallas_attention.set_shard_mesh(mesh)
+    try:
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        val, grad = jax.jit(jax.value_and_grad(loss))(ps, xs)
+        val, grad = jax.device_get((val, grad))
+    finally:
+        pallas_attention.set_shard_mesh(None)
+    # the jnp.sum reduction reassociates over shards — scalar-level noise
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    flat_a = jax.tree.leaves(grad)
+    flat_b = jax.tree.leaves(jax.device_get(ref_grad))
+    # param grads sum over the sharded batch/token axes (4096 O(1) terms
+    # with cancellation) — the shard-wise partial sums reassociate, so
+    # tolerate fp32 accumulation noise; 5e-5 is ~1e-5 of the grad scale
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)
+
+
+def test_flash_eligibility_is_mesh_aware():
+    """Under a spatial mesh the per-shard query rows must still be
+    block-divisible; slice meshes stay unsupported (the K/V gather would
+    cross DCN)."""
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, spatial=8)
+    pallas_attention.set_shard_mesh(mesh)
+    try:
+        assert not eligible(512, 128)   # 64 local rows < min block
+        assert eligible(1024, 128)      # 128 local rows
+        assert not eligible(1000, 128)  # tokens not divisible by spatial
+    finally:
+        pallas_attention.set_shard_mesh(None)
+    assert eligible(512, 128)  # unmeshed: global check only
+    assert not pallas_attention.mesh_supported(make_mesh(8, slices=2))
 
 
 def test_trainer_installs_and_clears_flash_shard_mesh(tmp_path):

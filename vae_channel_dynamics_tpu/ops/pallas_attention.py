@@ -22,14 +22,24 @@ Numerics match ``chunked_attention`` (same online-softmax recurrence, fp32
 accumulators, probabilities cast to the compute dtype before the PV matmul)
 up to float reassociation of the block reduction order.
 
-Backward: a custom VJP delegates to ``chunked_attention``'s gradient, which
-is already memory-bounded via per-chunk rematerialization — so ``flash``
-is safe to select for training, while its win is the forward/serving path.
+Backward: fused Pallas kernels (FlashAttention-2 style). The forward-for-
+training variant additionally emits the per-row log-sum-exp; the backward
+rematerializes each (block_q, block_k) probability tile from (q, k, lse) in
+VMEM and accumulates dK/dV (one kernel, keys outer / queries inner) and dQ
+(one kernel, queries outer / keys inner) in fp32 scratch. No O(N^2) buffer
+ever exists and — unlike the previous delegated ``chunked_attention`` VJP —
+nothing round-trips the fp32 accumulators through HBM per chunk, which is
+what made ``flash`` +1.3% on a 1024px train step instead of a win.
 
 Mesh: GSPMD cannot partition the custom call, but the batch axis is
 embarrassingly parallel — ``set_shard_mesh`` (same pattern as
 ops/pallas_resnet.py) makes ``flash_attention`` wrap itself in ``shard_map``
 over the data axis so each device runs the kernel on its local batch block.
+On a spatially-sharded mesh the token axis itself is split: each shard
+all-gathers K/V along ``spatial`` (16 MB each at 1024px — cheap on ICI) and
+runs the kernel over its local query rows; softmax rows are independent, so
+this is exact sequence parallelism, and the all-gather transposes to a
+reduce-scatter in the backward automatically.
 """
 
 from __future__ import annotations
@@ -42,7 +52,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import chunked_attention
 from .pallas_group_norm import LANE, _interpret
 
 # Finite stand-in for -inf (see ops/attention.py): exp(_MASKED - m)
@@ -67,8 +76,19 @@ def _pick_block(n: int) -> Optional[int]:
 def eligible(num_tokens: int, channels: int) -> bool:
     """Kernel constraints: lane-aligned channels and a block size dividing
     the token count (every SDXL/SD mid block at >=64px qualifies: C=512,
-    N=(res/8)^2 is a multiple of 128 for res a multiple of 64)."""
-    return channels % LANE == 0 and _pick_block(num_tokens) is not None
+    N=(res/8)^2 is a multiple of 128 for res a multiple of 64). Under an
+    installed spatially-sharded mesh the per-shard query rows
+    (num_tokens / spatial) must be block-divisible too."""
+    if channels % LANE != 0 or _pick_block(num_tokens) is None:
+        return False
+    mesh = _SHARD_MESH
+    if mesh is not None and mesh_supported(mesh):
+        sp = int(dict(mesh.shape).get("spatial", 1))
+        if sp > 1 and (
+            num_tokens % sp or _pick_block(num_tokens // sp) is None
+        ):
+            return False
+    return True
 
 
 # --------------------------------------------------------------------- #
@@ -85,18 +105,27 @@ def set_shard_mesh(mesh: Optional[jax.sharding.Mesh]) -> None:
 
 
 def mesh_supported(mesh) -> bool:
-    """True when every non-trivial mesh axis is the data axis (a sharded
-    spatial axis would split the token dimension mid-softmax)."""
+    """True when every non-trivial mesh axis is ``data`` or ``spatial``.
+    ``data`` shards the batch (embarrassingly parallel); a sharded spatial
+    axis splits the token dimension, handled by sequence parallelism (local
+    query rows attend over all-gathered K/V — see ``flash_attention``).
+    Multi-slice meshes still fall back: the slice axis would route the K/V
+    gather over DCN, where chunked's in-graph scan is the better program."""
     return mesh is not None and all(
-        name == "data" or size == 1 for name, size in dict(mesh.shape).items()
+        name in ("data", "spatial") or size == 1
+        for name, size in dict(mesh.shape).items()
     )
 
 
 # --------------------------------------------------------------------- #
 # Kernel
 # --------------------------------------------------------------------- #
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, scale: float, precision):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float, precision):
+    if len(rest) == 4:          # training variant: also emit log-sum-exp
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        lse_ref = None
+        m_ref, l_ref, acc_ref = rest
     kidx = pl.program_id(2)
 
     @pl.when(kidx == 0)
@@ -132,9 +161,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     @pl.when(kidx == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[...] / l_ref[...][:, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
 
 
-def _flash_forward(q, k, v, scale, out_dtype, precision):
+def _flash_forward(q, k, v, scale, out_dtype, precision, *, with_lse=False):
     b, nq, c = q.shape
     nk = k.shape[1]
     bq = _pick_block(nq)
@@ -142,7 +173,18 @@ def _flash_forward(q, k, v, scale, out_dtype, precision):
     grid = (b, nq // bq, nk // bk)  # k innermost: accumulators persist
     kernel = functools.partial(_flash_kernel, scale=scale, precision=precision)
     itemsize = jnp.dtype(q.dtype).itemsize
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, nq, c), out_dtype)]
+    out_specs = [pl.BlockSpec((1, bq, c), lambda i, j, kx: (i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_lse:
+        # Per-row log-sum-exp as a (B, N, LANE) strip (all columns equal):
+        # the lane-width last dim keeps stores full-block and lets the
+        # backward kernels read it with the same BlockSpec shape as q.
+        out_shape.append(jax.ShapeDtypeStruct((b, nq, LANE), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, bq, LANE),
+                                      lambda i, j, kx: (i, j, 0),
+                                      memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=_interpret(),
@@ -154,9 +196,8 @@ def _flash_forward(q, k, v, scale, out_dtype, precision):
             pl.BlockSpec((1, bk, c), lambda i, j, kx: (i, kx, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, c), lambda i, j, kx: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nq, c), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, LANE), jnp.float32),  # running max
             pltpu.VMEM((bq, LANE), jnp.float32),  # running denominator
@@ -169,6 +210,157 @@ def _flash_forward(q, k, v, scale, out_dtype, precision):
             transcendentals=b * nq * nk,
         ),
     )(q, k, v)
+    return tuple(out) if with_lse else out[0]
+
+
+# --------------------------------------------------------------------- #
+# Backward (FlashAttention-2): rematerialize each probability tile from
+# (q, k, lse) and accumulate the three gradients in fp32 VMEM scratch.
+# Two kernels because dK/dV accumulate over query blocks while dQ
+# accumulates over key blocks — each wants its reduction axis innermost so
+# the scratch accumulator persists across the whole reduction.
+# --------------------------------------------------------------------- #
+
+# Smaller tiles than the forward: the backward holds four (block, C) input
+# blocks, two fp32 (block, C) accumulators and four fp32 (bq, bk) tiles at
+# once. 256 keeps the working set ~6 MB at C=512. Every element divides
+# every forward block, so forward eligibility implies backward eligibility.
+_BWD_BLOCKS = (256, 128)
+
+
+def _pick_bwd_block(n: int) -> Optional[int]:
+    for b in _BWD_BLOCKS:
+        if n % b == 0:
+            return b
+    return None
+
+
+def _bwd_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+              scale, precision):
+    """The shared per-tile math: rebuild p, dp, ds for one (bq, bk) tile."""
+    qb = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    dob = do_ref[0]
+    lse = lse_ref[0][:, :1]      # (bq, 1) fp32
+    delta = delta_ref[0][:, :1]  # (bq, 1) fp32 = rowsum(do * o)
+    s = jax.lax.dot_general(
+        qb, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * scale
+    p = jnp.exp(s - lse)  # (bq, bk) fp32 — exact softmax, no running max
+    dp = jax.lax.dot_general(
+        dob, vb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    ds = p * (dp - delta) * scale  # d(loss)/d(s_scaled) * scale folded in
+    return qb, kb, dob, p, ds
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dqa_ref, *, scale: float, precision):
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _():
+        dqa_ref[...] = jnp.zeros_like(dqa_ref)
+
+    qb, kb, _, _, ds = _bwd_tile(
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, scale, precision)
+    dqa_ref[...] += jax.lax.dot_general(
+        ds.astype(qb.dtype), kb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(kidx == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dqa_ref[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dka_ref, dva_ref,
+                          *, scale: float, precision):
+    qidx = pl.program_id(2)
+
+    @pl.when(qidx == 0)
+    def _():
+        dka_ref[...] = jnp.zeros_like(dka_ref)
+        dva_ref[...] = jnp.zeros_like(dva_ref)
+
+    qb, _, dob, p, ds = _bwd_tile(
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, scale, precision)
+    # dv += p^T @ do ; dk += ds^T @ q — contraction over the query rows,
+    # expressed with dimension numbers so no explicit transpose relayout.
+    dva_ref[...] += jax.lax.dot_general(
+        p.astype(qb.dtype), dob, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    dka_ref[...] += jax.lax.dot_general(
+        ds.astype(qb.dtype), qb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(qidx == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dka_ref[...].astype(dk_ref.dtype)
+        dv_ref[0] = dva_ref[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, do, lse, delta, scale, precision):
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    bq = _pick_bwd_block(nq)
+    bk = _pick_bwd_block(nk)
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    q_spec = pl.BlockSpec((1, bq, c), lambda i, j, kx: (i, kx, 0),
+                          memory_space=pltpu.VMEM)
+    strip = pl.BlockSpec((1, bq, LANE), lambda i, j, kx: (i, kx, 0),
+                         memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bk, c), lambda i, j, kx: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
+                          precision=precision),
+        grid=(b, nk // bk, nq // bq),  # queries innermost: dk/dv persist
+        interpret=_interpret(),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, strip, strip],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, nk, c), k.dtype),
+                   jax.ShapeDtypeStruct((b, nk, c), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((bk, c), jnp.float32),
+                        pltpu.VMEM((bk, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * nq * nk * c,
+            bytes_accessed=itemsize * b * c * 2 * (nq + nk)
+            + itemsize * b * c * (nq + 2 * nk),
+            transcendentals=b * nq * nk,
+        ),
+    )(q, k, v, do, lse, delta)
+
+    q_spec2 = pl.BlockSpec((1, bq, c), lambda i, j, kx: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    strip2 = pl.BlockSpec((1, bq, LANE), lambda i, j, kx: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, bk, c), lambda i, j, kx: (i, kx, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale,
+                          precision=precision),
+        grid=(b, nq // bq, nk // bk),  # keys innermost: dq persists
+        interpret=_interpret(),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, strip2, strip2],
+        out_specs=q_spec2,
+        out_shape=jax.ShapeDtypeStruct((b, nq, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * nq * nk * c,
+            bytes_accessed=itemsize * b * c * (2 * nq + 2 * nk)
+            + itemsize * b * nq * c,
+            transcendentals=b * nq * nk,
+        ),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -177,22 +369,22 @@ def _flash_attention(q, k, v, scale, out_dtype, precision):
 
 
 def _flash_fwd(q, k, v, scale, out_dtype, precision):
-    return _flash_forward(q, k, v, scale, out_dtype, precision), (q, k, v)
+    o, lse = _flash_forward(q, k, v, scale, out_dtype, precision,
+                            with_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, out_dtype, precision, res, g):
-    # The chunked scan path computes the identical math with per-chunk
-    # rematerialization, so its VJP is already O(N*chunk) memory — reuse it
-    # rather than hand-writing dQ/dK/dV kernels for an op that is ~1.3% of
-    # a 1024px train step (PERF.md).
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: chunked_attention(
-            q_, k_, v_, scale=scale, out_dtype=out_dtype, precision=precision,
-        ),
-        q, k, v,
-    )
-    return vjp(g)
+    q, k, v, o, lse = res
+    # delta_i = sum_c do_ic * o_ic (FlashAttention-2's D): one fused
+    # elementwise pass XLA folds into the strip broadcast; the kernels then
+    # never need o itself.
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (*delta.shape[:2], LANE))
+    dq, dk, dv = _flash_backward(
+        q, k, v, g.astype(q.dtype), lse, delta, scale, precision)
+    return dq, dk, dv
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -210,21 +402,35 @@ def flash_attention(
     """Single-head ``softmax(q @ k^T * scale) @ v`` via the fused kernel.
 
     Same signature and semantics as ``chunked_attention``. Inputs are
-    ``(batch, tokens, channels)``; the caller must check :func:`eligible`.
-    Under an installed data mesh the kernel runs per-shard via shard_map.
+    ``(batch, tokens, channels)``; the caller must check :func:`eligible`
+    (which is mesh-aware once :func:`set_shard_mesh` is installed).
+    Under an installed data mesh the kernel runs per-shard via shard_map;
+    a spatially-sharded mesh additionally goes sequence-parallel (local
+    query rows over all-gathered K/V).
     """
     mesh = _SHARD_MESH
     if mesh is not None and mesh_supported(mesh) and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
 
+        axes = dict(mesh.shape)
+        data = "data" if int(axes.get("data", 1)) > 1 else None
+        sp = "spatial" if int(axes.get("spatial", 1)) > 1 else None
+
+        def local(q_, k_, v_):
+            if sp is not None:
+                # Sequence parallelism: softmax rows are independent, so
+                # each shard runs the kernel on its local query rows over
+                # the full gathered keys/values (16 MB each at 1024px —
+                # one ICI all-gather per operand; it transposes to a
+                # reduce-scatter for dK/dV in the backward automatically).
+                k_ = jax.lax.all_gather(k_, sp, axis=1, tiled=True)
+                v_ = jax.lax.all_gather(v_, sp, axis=1, tiled=True)
+            return _flash_attention(q_, k_, v_, scale, out_dtype, precision)
+
+        spec = P(data, sp)
         fn = jax.shard_map(
-            lambda q_, k_, v_: _flash_attention(
-                q_, k_, v_, scale, out_dtype, precision
-            ),
-            mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data")),
-            out_specs=P("data"),
-            check_vma=False,
+            local, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
         )
         return fn(q, k, v)
     return _flash_attention(q, k, v, scale, out_dtype, precision)

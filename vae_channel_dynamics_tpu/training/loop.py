@@ -238,21 +238,23 @@ class Trainer:
             from ..ops import pallas_attention
 
             if pallas_attention.mesh_supported(mesh):
-                # the batch axis is embarrassingly parallel: the kernel
-                # runs per-shard via shard_map on each device's local block
+                # batch axis: embarrassingly parallel per-shard kernels;
+                # spatial axis: sequence parallelism (local query rows over
+                # all-gathered K/V) — both via shard_map
                 pallas_attention.set_shard_mesh(mesh)
                 self._installed_attn_shard_mesh = True
                 logger.info(
-                    "model.attention_impl='flash' on a %d-device data mesh: "
-                    "the kernel runs per-shard via shard_map.", mesh.size,
+                    "model.attention_impl='flash' on a %d-device mesh %s: "
+                    "the kernel runs per-shard via shard_map "
+                    "(sequence-parallel over a sharded spatial axis).",
+                    mesh.size, dict(mesh.shape),
                 )
             else:
-                # a sharded spatial axis would split the token dimension
-                # mid-softmax; multi-slice meshes add a non-data axis the
-                # shard_map wrapper doesn't partition — fall back
+                # multi-slice meshes would route the K/V all-gather over
+                # DCN, where chunked's in-graph scan is the better program
                 logger.warning(
-                    "model.attention_impl='flash' only supports pure "
-                    "data-parallel meshes, not %s — falling back to "
+                    "model.attention_impl='flash' supports data/spatial "
+                    "meshes, not %s — falling back to "
                     "attention_impl='auto'.", dict(mesh.shape),
                 )
                 wrapper.attn_impl = "auto"
