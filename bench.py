@@ -10,6 +10,15 @@ Prints ONE JSON line:
    "vs_baseline": N, ...extras}
 Baseline target: 3000 images/sec/chip on TPU v5e (BASELINE.md).
 
+The JSON line is emitted IMMEDIATELY after the first (headline) variant is
+measured — BENCH_r03 timed out (rc=124, parsed=null) because the old layout
+ran every extra phase (fused kernels, tracking overhead, forward) before
+printing, and the round-3 host migration made each cold compile 5-10 min
+through the tunnel. Extra phases now run AFTER the JSON line, report to
+stderr only, and are skipped entirely once the BENCH_BUDGET_S wall-clock
+budget (default 480 s) is spent, so the driver always gets a parseable
+line and a zero exit code.
+
 ``--mesh`` mode (multi-chip scaling evidence within a 1-chip environment):
 weak-scales the REAL sharded train step over 1/2/4/8-device CPU meshes
 (fixed per-device batch) and reports parallel efficiency, plus an ICI-model
@@ -432,6 +441,16 @@ def mesh_bench() -> int:
 def main() -> int:
     if MESH_MODE:
         return mesh_bench()
+    t_start = time.time()
+    # Wall-clock budget for the OPTIONAL phases (fused kernels, tracking
+    # overhead, forward-only). The headline variant always runs; each extra
+    # phase is skipped once the budget is spent so the driver's timeout can
+    # never kill the process after the JSON line is out but before exit 0.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+    def _budget_left() -> float:
+        return budget_s - (time.time() - t_start)
+
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     resolution = int(os.environ.get("BENCH_RESOLUTION", "256" if on_tpu else "32"))
@@ -519,10 +538,38 @@ def main() -> int:
                           "vs_baseline": 0}))
         return 1
 
+    # ---- headline JSON: printed NOW, before any optional phase ---------- #
+    result = {
+        "metric": f"sdxl_vae_train_images_per_sec_per_chip@{resolution}px",
+        "value": round(best["ips"], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best["ips"] / BASELINE_IMAGES_PER_SEC, 4),
+        "batch": best["batch"],
+        "step_ms": round(best["dt"] * 1e3, 2),
+        "platform": platform,
+        # 2.66 TFLOP/image @256px from XLA cost analysis (PERF.md), scaled
+        # quadratically with resolution (conv-dominated); v5e bf16 peak 197
+        "mfu_pct": round(
+            best["ips"] * 2.66e12 * (resolution / 256.0) ** 2 / 197e12 * 100.0,
+            1,
+        )
+        if on_tpu
+        else None,
+        "baseline_note": (
+            "3000 img/s/chip is ~40x above single-chip physics for full "
+            "fwd+bwd @256px (speed of light ~74 img/s at 197 TF/s bf16); "
+            "it matches a forward-only pass @64px, where this framework "
+            "measures 3391 img/s/chip (PERF.md)"
+        ),
+    }
+    print(json.dumps(result), flush=True)
+
+    # ---- optional phases: stderr-only, each gated on the budget --------- #
     # fused Pallas resnet path (gn+silu+conv single-kernel) at the best batch
     best_impl = "auto"
     fused_ips = None
-    if on_tpu and os.environ.get("BENCH_FUSED", "1") == "1":
+    if (on_tpu and os.environ.get("BENCH_FUSED", "1") == "1"
+            and _budget_left() > 0):
         try:
             batch = best["batch"]
             data = jax.device_put(
@@ -554,6 +601,10 @@ def main() -> int:
 
     # tracking overhead at the best batch size
     overhead_pct = None
+    if _budget_left() <= 0:
+        print(f"# budget spent ({budget_s:.0f}s): skipping tracking/forward "
+              "phases", file=sys.stderr)
+        return 0
     try:
         batch = best["batch"]
         data = jax.device_put(
@@ -583,6 +634,10 @@ def main() -> int:
 
     # serving (forward-only) throughput at the best batch size
     forward_ips = None
+    if _budget_left() <= 0:
+        print(f"# budget spent ({budget_s:.0f}s): skipping forward phase",
+              file=sys.stderr)
+        return 0
     try:
         batch = best["batch"]
         data = jax.device_put(
@@ -604,40 +659,24 @@ def main() -> int:
         data = params = fwd = None
         _release()
 
-    result = {
-        "metric": f"sdxl_vae_train_images_per_sec_per_chip@{resolution}px",
-        "value": round(best["ips"], 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(best["ips"] / BASELINE_IMAGES_PER_SEC, 4),
-        "batch": best["batch"],
-        "step_ms": round(best["dt"] * 1e3, 2),
-        "platform": platform,
-        "kernel_impl": best_impl,
-        "fused_images_per_sec": (
-            round(fused_ips, 2) if fused_ips is not None else None
-        ),
-        "tracking_overhead_pct": (
-            round(overhead_pct, 2) if overhead_pct is not None else None
-        ),
-        "forward_images_per_sec": (
-            round(forward_ips, 2) if forward_ips is not None else None
-        ),
-        # 2.66 TFLOP/image @256px from XLA cost analysis (PERF.md), scaled
-        # quadratically with resolution (conv-dominated); v5e bf16 peak 197
-        "mfu_pct": round(
-            best["ips"] * 2.66e12 * (resolution / 256.0) ** 2 / 197e12 * 100.0,
-            1,
-        )
-        if on_tpu
-        else None,
-        "baseline_note": (
-            "3000 img/s/chip is ~40x above single-chip physics for full "
-            "fwd+bwd @256px (speed of light ~74 img/s at 197 TF/s bf16); "
-            "it matches a forward-only pass @64px, where this framework "
-            "measures 3391 img/s/chip (PERF.md)"
-        ),
-    }
-    print(json.dumps(result))
+    # extras summary: stderr only — the one stdout JSON line is already out
+    print(
+        "# extras: "
+        + json.dumps({
+            "kernel_impl": best_impl,
+            "fused_images_per_sec": (
+                round(fused_ips, 2) if fused_ips is not None else None
+            ),
+            "tracking_overhead_pct": (
+                round(overhead_pct, 2) if overhead_pct is not None else None
+            ),
+            "forward_images_per_sec": (
+                round(forward_ips, 2) if forward_ips is not None else None
+            ),
+            "elapsed_s": round(time.time() - t_start, 1),
+        }),
+        file=sys.stderr,
+    )
     return 0
 
 
