@@ -74,15 +74,26 @@ def time_grad(fn, q, k, v, scale, warmup=3, iters=10):
 def main():
     c = 512
     scale = 1.0 / np.sqrt(c)
-    for batch, tokens in ((1, 16384), (8, 16384)):
+    # (batch, tokens): the 1024px mid-block shape (16384), the 512px shape
+    # (4096) and the 256px shape (1024) at training-relevant batch sizes —
+    # the auto-policy table rows. Override with BENCH_CASES="b:t,b:t,...".
+    import os
+    env = os.environ.get("BENCH_CASES", "")
+    cases = (
+        tuple(tuple(int(x) for x in c_.split(":")) for c_ in env.split(","))
+        if env
+        else ((1, 16384), (8, 16384), (1, 4096), (8, 4096),
+              (8, 1024), (24, 1024))
+    )
+    for batch, tokens in cases:
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q, k, v = (
             jax.random.normal(kk, (batch, tokens, c), jnp.bfloat16)
             for kk in ks
         )
         for name, fn in IMPLS.items():
-            if name == "naive" and batch == 8:
-                # 8.6 GB fp32 logits held TWICE through the naive backward
+            if name == "naive" and batch * tokens * tokens * 4 > 4e9:
+                # multi-GB fp32 logits held TWICE through the naive backward
                 # (forward residual + recompute) — OOMs the chip; skip
                 print(json.dumps({
                     "case": "attn_grad", "impl": name, "tokens": tokens,

@@ -2,12 +2,16 @@
 
 Completes the kernel's training story: PERF.md has naive 674.7 and chunked
 680.7 ms/step (SDXL @1024px, batch 1, bf16, remat full); this measures
-attention_impl=flash on the identical program (flash forward kernel +
-chunked-delegated backward). Reuses bench.py's step builder and
-chain-differenced timer. Run via nohup + polling.
+attention_impl=flash on the identical program (flash forward kernel + the
+fused Pallas FlashAttention-2 backward: the dK/dV and dQ kernel pair in
+ops/pallas_attention.py, not the old chunked-delegated VJP). Reuses
+bench.py's step builder and chain-differenced timer. BENCH_REMAT env
+(full|conv|none, default full) selects the remat mode. Run via nohup +
+polling.
 """
 
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -33,10 +37,14 @@ def main():
     rng = np.random.default_rng(0)
     batch_np = rng.uniform(-1, 1, (1, 1024, 1024, 3)).astype(np.float32)
     mask = np.ones((1,), np.float32)
+    remat = {"none": False, "0": False}.get(
+        os.environ.get("BENCH_REMAT", "full"),
+        os.environ.get("BENCH_REMAT", "full"),
+    )
     impls = sys.argv[1:] or ["flash"]
     for attn_impl in impls:
         step, state = bench.build_step(
-            cfg, 1, 1024, (), params, remat="full", attn_impl=attn_impl,
+            cfg, 1, 1024, (), params, remat=remat, attn_impl=attn_impl,
         )
         dt, _ = bench.time_steps(
             step, state, {"pixel_values": batch_np}, mask,
@@ -45,7 +53,7 @@ def main():
         ms = dt * 1e3
         print(json.dumps({
             "case": "train", "impl": attn_impl, "resolution": 1024,
-            "batch": 1, "ms_per_step": round(float(ms), 1),
+            "batch": 1, "remat": remat, "ms_per_step": round(float(ms), 1),
         }), flush=True)
 
 

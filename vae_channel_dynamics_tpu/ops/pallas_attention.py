@@ -78,7 +78,16 @@ def eligible(num_tokens: int, channels: int) -> bool:
     the token count (every SDXL/SD mid block at >=64px qualifies: C=512,
     N=(res/8)^2 is a multiple of 128 for res a multiple of 64). Under an
     installed spatially-sharded mesh the per-shard query rows
-    (num_tokens / spatial) must be block-divisible too."""
+    (num_tokens / spatial) must be block-divisible too.
+
+    TRACE-ORDER HAZARD: the answer reads the module-global mesh installed by
+    :func:`set_shard_mesh`, and jit bakes it into the trace — a function
+    traced BEFORE the mesh is installed keeps the non-mesh-aware decision
+    (the jit cache is not keyed on the global). The Trainer installs the
+    mesh before any tracing; direct library users must do the same.
+    :func:`flash_attention` additionally asserts block-divisibility of the
+    per-shard rows at trace time, so a stale ``eligible()`` verdict fails
+    loudly instead of lowering an invalid kernel."""
     if channels % LANE != 0 or _pick_block(num_tokens) is None:
         return False
     mesh = _SHARD_MESH
@@ -170,6 +179,17 @@ def _flash_forward(q, k, v, scale, out_dtype, precision, *, with_lse=False):
     nk = k.shape[1]
     bq = _pick_block(nq)
     bk = _pick_block(nk)
+    if bq is None or bk is None or c % LANE != 0:
+        # Reached when a trace predates set_shard_mesh() and a mesh later
+        # splits the rows below block divisibility (see eligible()): fail
+        # at trace time with the cause, not inside Mosaic.
+        raise ValueError(
+            f"flash attention ineligible for local shape q={q.shape} "
+            f"k={k.shape}: rows must divide a block in {_BLOCKS} and "
+            f"channels must be a multiple of {LANE}. If this appears under "
+            "shard_map, eligible() was consulted before set_shard_mesh() "
+            "installed the mesh."
+        )
     grid = (b, nq // bq, nk // bk)  # k innermost: accumulators persist
     kernel = functools.partial(_flash_kernel, scale=scale, precision=precision)
     itemsize = jnp.dtype(q.dtype).itemsize
