@@ -31,9 +31,9 @@ from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa
 def main():
     cfg = VAEConfig.sdxl()
     module = AutoencoderKL(config=cfg, dtype=jnp.bfloat16)
-    params = module.init(
+    params_host = jax.device_get(module.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
-    )["params"]
+    )["params"])
     rng = np.random.default_rng(0)
     batch_np = rng.uniform(-1, 1, (1, 1024, 1024, 3)).astype(np.float32)
     mask = np.ones((1,), np.float32)
@@ -43,6 +43,9 @@ def main():
     )
     impls = sys.argv[1:] or ["flash"]
     for attn_impl in impls:
+        # fresh device buffers per impl: the jitted step donates the state,
+        # deleting the previous impl's params arrays
+        params = jax.device_put(params_host)
         step, state = bench.build_step(
             cfg, 1, 1024, (), params, remat=remat, attn_impl=attn_impl,
         )
