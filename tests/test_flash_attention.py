@@ -170,6 +170,7 @@ def test_eligibility():
 def test_resolve_impl_flash():
     assert resolve_impl("flash", 64) == "flash"
     assert resolve_impl("auto", 64) == "naive"
+    # channels unknown: the streaming fallback, never an unchecked kernel
     assert resolve_impl("auto", 8192) == "chunked"
     try:
         resolve_impl("bogus", 64)
@@ -177,6 +178,93 @@ def test_resolve_impl_flash():
         assert "flash" in str(e)
     else:
         raise AssertionError("unknown impl accepted")
+
+
+def test_resolve_impl_auto_policy_table():
+    """The measured shared policy (resolvers' docstrings / PERF.md):
+    TRAINING auto = naive <= 4096 tokens, chunked above (flash measures
+    748.6 vs chunked's 685.6 ms in the 1024px train step despite winning
+    at the op level); FORWARD-ONLY auto (serve/server/evaluate) = flash
+    from 4096 tokens up when the kernel's shape/mesh constraints hold
+    (fastest at every measured batched forward point)."""
+    from vae_channel_dynamics_tpu.ops.attention import resolve_serving_impl
+
+    # training policy: byte-identical programs to rounds 1-3
+    assert resolve_impl("auto", 4096, 512) == "naive"
+    assert resolve_impl("auto", 16384, 512) == "chunked"
+    assert resolve_impl("auto", 16384) == "chunked"
+    # serving policy: flash at >= 4096 when eligible
+    assert resolve_serving_impl("auto", 4096, 512) == "flash"
+    assert resolve_serving_impl("auto", 16384, 512) == "flash"
+    assert resolve_serving_impl("auto", 4096, 320) == "naive"  # unaligned
+    assert resolve_serving_impl("auto", 5000, 512) == "chunked"  # no block
+    assert resolve_serving_impl("auto", 1024, 512) == "naive"
+    for impl in ("naive", "chunked", "flash"):  # explicit passes through
+        assert resolve_impl(impl, 16384, 512) == impl
+        assert resolve_serving_impl(impl, 16384, 512) == impl
+
+
+def test_resolve_serving_impl_is_mesh_aware():
+    """Serving auto->flash only on meshes the kernel partitions: data and
+    spatial (per-shard rows block-divisible) yes; multi-slice no (the K/V
+    gather would ride DCN — chunked's in-graph scan is the better
+    program)."""
+    from vae_channel_dynamics_tpu.ops.attention import resolve_serving_impl
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    try:
+        pallas_attention.set_shard_mesh(make_mesh(8))
+        assert resolve_serving_impl("auto", 16384, 512) == "flash"
+        pallas_attention.set_shard_mesh(make_mesh(8, spatial=4))
+        assert resolve_serving_impl("auto", 16384, 512) == "flash"
+        pallas_attention.set_shard_mesh(make_mesh(8, slices=2))
+        assert resolve_serving_impl("auto", 16384, 512) == "chunked"
+    finally:
+        pallas_attention.set_shard_mesh(None)
+
+
+def test_evaluate_cli_resolves_serving_attention_policy(tmp_path, monkeypatch):
+    """The evaluate CLI is forward-only: its wrapper must be constructed
+    with the SERVING-resolved impl (flash at eligible >=4096-token shapes),
+    while explicit config impls pass through."""
+    from vae_channel_dynamics_tpu.ops import attention as attention_mod
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_resolve(attn_impl, tokens, channels=None):
+        captured["args"] = (attn_impl, tokens, channels)
+        raise _Stop  # don't run the actual evaluation
+
+    monkeypatch.setattr(attention_mod, "resolve_serving_impl", fake_resolve)
+    import vae_channel_dynamics_tpu.evaluate as evaluate_mod
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.models import io as model_io
+
+    model_dir = tmp_path / "model"
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    params = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        sample_posterior=False,
+    )["params"]
+    model_io.save_model_dir(str(model_dir), cfg, params)
+    config_path = tmp_path / "c.yaml"
+    config_path.write_text(
+        "data:\n  dataset_name: synthetic://plain\n  resolution: 1024\n"
+    )
+    try:
+        evaluate_mod.main([
+            "--config_path", str(config_path),
+            "--checkpoint_path", str(model_dir),
+            "--enable_logit_lens", "false",
+        ])
+    except _Stop:
+        pass
+    # tiny config: /2 downsampling -> (1024//2)^2 tokens, 32-ch mid block
+    assert captured["args"] == ("auto", (1024 // 2) ** 2, 32)
 
 
 def test_attention_block_flash_fallback_when_ineligible():

@@ -552,8 +552,10 @@ def test_tiled_server_reconstruct_and_encode():
 
 def test_resolve_serving_attention_impl_policy():
     """Serving is always single-device, so 'auto' upgrades to the fused
-    Pallas kernel above the chunked threshold when the mid-block shape
-    qualifies; explicit impls and small/odd shapes pass through."""
+    Pallas kernel from 4096 tokens up (batched forwards measure
+    flash-fastest already at the 512px mid-block shape — PERF.md) when the
+    mid-block shape qualifies; explicit impls and small/odd shapes pass
+    through."""
     from vae_channel_dynamics_tpu.server import resolve_serving_attention_impl
 
     sdxl = VAEConfig.sdxl()  # /8 downsampling, 512-ch mid block
@@ -561,8 +563,9 @@ def test_resolve_serving_attention_impl_policy():
     assert resolve_serving_attention_impl("auto", 1024, sdxl) == "flash"
     # 256px -> 1024 tokens: below threshold, stays auto (-> naive in-model)
     assert resolve_serving_attention_impl("auto", 256, sdxl) == "auto"
-    # tiled 1024px serving passes the TILE as effective resolution
-    assert resolve_serving_attention_impl("auto", 512, sdxl) == "auto"
+    # 512px / a 512px TILE of a larger image -> 4096 tokens: serving takes
+    # flash AT the threshold (the training policy keeps naive there)
+    assert resolve_serving_attention_impl("auto", 512, sdxl) == "flash"
     # explicit impls are never overridden
     for impl in ("naive", "chunked", "flash"):
         assert resolve_serving_attention_impl(impl, 1024, sdxl) == impl

@@ -144,11 +144,26 @@ def main(argv=None) -> int:
 
     mixed_precision = config.get("training", {}).get("mixed_precision", "no")
     dtype = jnp.bfloat16 if mixed_precision in ("bf16", "fp16") else jnp.float32
+    # evaluation is forward-only, so 'auto' resolves through the serving
+    # policy (flash from 4096 tokens when eligible — fastest at every
+    # measured forward point, PERF.md); explicit impls pass through so a
+    # run's pinned choice is honored
+    from .ops.attention import resolve_serving_impl
+
+    eval_resolution = as_int(config.get("data", {}).get("resolution"), 256)
+    ds_factor = 2 ** (len(vae_config.block_out_channels) - 1)
+    attn_impl = resolve_serving_impl(
+        str(config.get("model", {}).get("attention_impl", "auto")),
+        (eval_resolution // ds_factor) ** 2,
+        vae_config.block_out_channels[-1],
+    )
+    if attn_impl == "flash":
+        logger.info(
+            "attention_impl=auto: evaluation is forward-only, using the "
+            "fused Pallas kernel (flash)."
+        )
     wrapper = SDXLVAEWrapper(
-        config=vae_config, params=params, dtype=dtype,
-        # honor the run's attention policy so 1024px evals avoid the
-        # quadratic logits buffer exactly like their training runs did
-        attn_impl=str(config.get("model", {}).get("attention_impl", "auto")),
+        config=vae_config, params=params, dtype=dtype, attn_impl=attn_impl,
     )
 
     logit_lens = None
@@ -194,6 +209,13 @@ def main(argv=None) -> int:
     )
     mesh = make_mesh()
     n_shards = mesh.devices.size
+    if n_shards > 1:
+        # flash attention (explicit or auto-resolved above 4096 tokens) must
+        # see the mesh before the eval step traces — per-shard shard_map on
+        # data meshes; ineligible meshes push auto back to chunked
+        from .ops import pallas_attention
+
+        pallas_attention.set_shard_mesh(mesh)
     batch_size = (
         args.batch_size
         if args.batch_size is not None

@@ -554,7 +554,10 @@ class AttentionBlock(TapModule):
     (ops/pallas_attention.py) — chunked's memory at naive-or-better speed
     (falls back to chunked when its shape constraints don't hold);
     ``auto`` (default) picks naive up to 4096 tokens (<=512px mid block)
-    and chunked above, leaving every measured <=512px program unchanged."""
+    and chunked above — the TRAINING policy; forward-only CLIs resolve
+    ``auto`` through ``ops.attention.resolve_serving_impl``, which takes
+    flash from 4096 tokens up. Both measured tables live on the
+    resolvers' docstrings."""
 
     channels: int = 0
     num_groups: int = 32
@@ -587,12 +590,16 @@ class AttentionBlock(TapModule):
         q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
         scale = 1.0 / math.sqrt(c)
         prec = _precision_for(self.dtype)
-        impl = resolve_impl(self.attn_impl, hh * ww)
+        impl = resolve_impl(self.attn_impl, hh * ww, c)
         if impl == "flash":
             from ..ops import pallas_attention
 
+            # explicit flash (training auto never resolves to it — see the
+            # resolver's measured table): fall back to the memory-equal
+            # streaming impl when the kernel's shape/mesh constraints
+            # don't hold
             if not pallas_attention.eligible(hh * ww, c):
-                impl = "chunked"  # shape-ineligible: memory-safe fallback
+                impl = "chunked"
         if impl == "flash":
             from ..ops.pallas_attention import flash_attention
 

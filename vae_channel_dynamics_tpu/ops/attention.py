@@ -29,7 +29,7 @@ memory relief is what unlocks larger per-chip batches.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +39,18 @@ import jax.numpy as jnp
 _MASKED = -1e30
 
 # Auto policy: naive attention up to this many tokens (<=512px mid block for
-# the SDXL /8 downsampling), chunked above. Keeps the measured 256/512px
-# programs byte-identical while fixing the 1024px memory wall.
+# the SDXL /8 downsampling); above it the quadratic logits buffer is the
+# 1024px memory wall and auto switches to a streaming impl — the fused
+# Pallas flash kernel when its shape/mesh constraints hold (measured faster
+# than chunked at every >4096-token point, fwd AND fused-backward: PERF.md
+# "Fused Pallas flash attention"), chunked otherwise. Keeps the measured
+# <=512px programs byte-identical.
 AUTO_CHUNK_THRESHOLD = 4096
+# Serving-only refinement: batched forward-only calls are measured flash-
+# fastest already AT 4096 tokens (1.61 vs 4.27 ms at batch 8; the batch-1
+# delta is -0.07 ms on a ~50 ms model call), so the serving resolver
+# upgrades auto at >= this count rather than > (PERF.md token-count sweep).
+SERVING_FLASH_MIN_TOKENS = 4096
 DEFAULT_CHUNK = 1024
 
 
@@ -123,12 +132,24 @@ def chunked_attention(
     return (acc / l).astype(out_dtype)
 
 
-def resolve_impl(attn_impl: str, num_tokens: int) -> str:
-    """Resolve the ``model.attention_impl`` policy for a given token count.
+def resolve_impl(
+    attn_impl: str, num_tokens: int, channels: Optional[int] = None
+) -> str:
+    """THE shared ``attention_impl`` policy for TRAINING traces (the model
+    default; forward-only surfaces use :func:`resolve_serving_impl`).
+    Explicit impls pass through; ``auto`` resolves per the chip-measured
+    table (PERF.md "Fused Pallas flash attention"; 1024px SDXL train step,
+    batch 1, remat full, round-4 re-measurement with the fused backward):
 
-    Returns ``'naive'``, ``'chunked'`` or ``'flash'`` (the fused Pallas
-    kernel, ops/pallas_attention.py — callers fall back to ``'chunked'``
-    when the kernel's shape constraints don't hold)."""
+    | tokens            | resolution (SDXL /8) | auto    | why (measured) |
+    |-------------------|----------------------|---------|----------------|
+    | <= 4096           | <= 512px             | naive   | fastest fwd+bwd at batch 1, ties flash at batch 8 (4096tok b8 grad: 7.73 vs 7.91 ms); quadratic buffer fits |
+    | > 4096            | > 512px              | chunked | O(N*chunk) memory for +1.7% step time (685.6 vs naive 673.9 ms); flash measures 748.6 ms IN-MODEL despite winning at the op level (grads 14.6 vs chunked 17.6 ms b1/16384) — the custom-call boundaries in the rematerialized backward cost more than the kernels save |
+
+    ``flash`` therefore remains opt-in for training; it IS the serving
+    default above 4096 tokens (see :func:`resolve_serving_impl`), where it
+    wins at every measured point. ``channels`` only matters to the serving
+    resolver and to explicit-``flash`` eligibility fallbacks."""
     if attn_impl in ("naive", "chunked", "flash"):
         return attn_impl
     if attn_impl != "auto":
@@ -137,6 +158,27 @@ def resolve_impl(attn_impl: str, num_tokens: int) -> str:
             "expected 'auto', 'naive', 'chunked' or 'flash'."
         )
     return "chunked" if num_tokens > AUTO_CHUNK_THRESHOLD else "naive"
+
+
+def resolve_serving_impl(
+    attn_impl: str, num_tokens: int, channels: Optional[int] = None
+) -> str:
+    """The shared ``auto`` policy for FORWARD-ONLY traces (serve/server/
+    evaluate CLIs): flash from 4096 tokens up when the kernel's shape and
+    installed-mesh constraints hold (``pallas_attention.eligible``), the
+    training policy otherwise. Chip-measured (PERF.md): flash is fastest at
+    every batched forward point — 1.61 vs naive 4.27 ms at 4096 tokens b8,
+    26.95 vs 42.5 ms at 16384 b8, full-model 1024px 100.3 vs chunked
+    134.2 ms/image — and eliminates naive's multi-GB logits transient. The
+    batch-1 4096-token delta (naive 0.104 vs flash 0.178 ms) is noise on a
+    ~50 ms model call, so no batch knob."""
+    if attn_impl == "auto" and num_tokens >= SERVING_FLASH_MIN_TOKENS:
+        if channels is not None:
+            from . import pallas_attention
+
+            if pallas_attention.eligible(num_tokens, channels):
+                return "flash"
+    return resolve_impl(attn_impl, num_tokens, channels)
 
 
 def use_chunked(attn_impl: str, num_tokens: int) -> bool:

@@ -91,7 +91,11 @@ def eligible(num_tokens: int, channels: int) -> bool:
     if channels % LANE != 0 or _pick_block(num_tokens) is None:
         return False
     mesh = _SHARD_MESH
-    if mesh is not None and mesh_supported(mesh):
+    if mesh is not None:
+        if not mesh_supported(mesh):
+            # a non-data/spatial axis (multi-slice) would leave the custom
+            # call unpartitioned under GSPMD or route K/V over DCN
+            return False
         sp = int(dict(mesh.shape).get("spatial", 1))
         if sp > 1 and (
             num_tokens % sp or _pick_block(num_tokens // sp) is None

@@ -58,25 +58,25 @@ logger = logging.getLogger(__name__)
 
 
 def resolve_serving_attention_impl(attn_impl, resolution, config, logger=None):
-    """Daemon-specific ``auto`` policy: the serving process is always
-    single-device (no mesh — the only situation where ``flash`` must fall
-    back), so above the chunked threshold ``auto`` prefers the fused Pallas
-    kernel when the mid-block shape qualifies — measured fastest at every
-    batched serving point and 34% faster than chunked for the full 1024px
-    forward (PERF.md "Fused Pallas flash attention"). Explicit impls pass
-    through untouched; with tiling the tile size (not the image size) sets
-    the mid-block token count, so callers pass the effective resolution."""
+    """Serving view of the shared ``auto`` policy
+    (``ops.attention.resolve_serving_impl``): the serving process is always
+    single-device, and forward-only batched calls are measured
+    flash-fastest already at 4096 tokens (512px mid block), so ``auto``
+    upgrades at >= 4096 rather than the model/training policy's > 4096 —
+    fastest at every batched serving point and 34% faster than chunked for
+    the full 1024px forward (PERF.md "Fused Pallas flash attention").
+    Explicit impls pass through untouched; with tiling the tile size (not
+    the image size) sets the mid-block token count, so callers pass the
+    effective resolution."""
     if attn_impl != "auto":
         return attn_impl
-    from .ops import pallas_attention
-    from .ops.attention import AUTO_CHUNK_THRESHOLD
+    from .ops.attention import resolve_serving_impl
 
     factor = 2 ** (len(config.block_out_channels) - 1)
     tokens = (resolution // factor) ** 2
     channels = config.block_out_channels[-1]
-    if tokens > AUTO_CHUNK_THRESHOLD and pallas_attention.eligible(
-        tokens, channels
-    ):
+    resolved = resolve_serving_impl(attn_impl, tokens, channels)
+    if resolved == "flash":
         if logger is not None:
             logger.info(
                 "attention_impl=auto at %d tokens: serving is single-device, "
@@ -292,6 +292,13 @@ class VAEServer:
             self.wrapper.params = jax.device_put(
                 self.wrapper.params, replicated_sharding(self.mesh)
             )
+            # flash attention (explicit or auto-resolved above 4096 tokens)
+            # must know the mesh BEFORE the warmup traces: the kernel then
+            # shard_maps itself per batch shard instead of leaving GSPMD an
+            # unpartitionable custom call (see pallas_attention.eligible)
+            from .ops import pallas_attention
+
+            pallas_attention.set_shard_mesh(self.mesh)
         self.started = time.time()
         self.requests = 0
         self.errors = 0

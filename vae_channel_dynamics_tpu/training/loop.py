@@ -234,30 +234,36 @@ class Trainer:
                     "kernel_impl='auto'.", dict(mesh.shape),
                 )
                 wrapper.impl = "auto"
-        if wrapper.attn_impl == "flash" and mesh.size > 1:
+        if wrapper.attn_impl in ("flash", "auto") and mesh.size > 1:
             from ..ops import pallas_attention
 
-            if pallas_attention.mesh_supported(mesh):
-                # batch axis: embarrassingly parallel per-shard kernels;
-                # spatial axis: sequence parallelism (local query rows over
-                # all-gathered K/V) — both via shard_map
-                pallas_attention.set_shard_mesh(mesh)
-                self._installed_attn_shard_mesh = True
-                logger.info(
-                    "model.attention_impl='flash' on a %d-device mesh %s: "
-                    "the kernel runs per-shard via shard_map "
-                    "(sequence-parallel over a sharded spatial axis).",
-                    mesh.size, dict(mesh.shape),
-                )
-            else:
-                # multi-slice meshes would route the K/V all-gather over
-                # DCN, where chunked's in-graph scan is the better program
-                logger.warning(
-                    "model.attention_impl='flash' supports data/spatial "
-                    "meshes, not %s — falling back to "
-                    "attention_impl='auto'.", dict(mesh.shape),
-                )
-                wrapper.attn_impl = "auto"
+            supported = pallas_attention.mesh_supported(mesh)
+            if wrapper.attn_impl == "flash":
+                if supported:
+                    logger.info(
+                        "model.attention_impl='flash' on a %d-device mesh "
+                        "%s: the kernel runs per-shard via shard_map "
+                        "(sequence-parallel over a sharded spatial axis).",
+                        mesh.size, dict(mesh.shape),
+                    )
+                else:
+                    # multi-slice meshes would route the K/V all-gather
+                    # over DCN, where chunked's in-graph scan is the better
+                    # program
+                    logger.warning(
+                        "model.attention_impl='flash' supports data/spatial "
+                        "meshes, not %s — falling back to "
+                        "attention_impl='auto'.", dict(mesh.shape),
+                    )
+                    wrapper.attn_impl = "auto"
+            # installed for 'auto' too, and for UNsupported meshes as well:
+            # the shared resolver (ops.attention.resolve_impl) selects flash
+            # above 4096 tokens only when eligible() accepts the installed
+            # mesh, so it must see the mesh BEFORE tracing — supported
+            # meshes shard the kernel, unsupported ones push auto to
+            # chunked instead of an unpartitionable custom call.
+            pallas_attention.set_shard_mesh(mesh)
+            self._installed_attn_shard_mesh = True
         vae_config = wrapper.config
         params = wrapper.params
 
