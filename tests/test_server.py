@@ -550,6 +550,93 @@ def test_tiled_server_reconstruct_and_encode():
         srv.shutdown()
 
 
+@pytest.mark.slow
+def test_soak_500_mixed_requests_memory_stable():
+    """500+ requests of mixed op/shape (two PNG sizes for /reconstruct, the
+    npy fast path, /encode, /decode) against a live daemon: zero errors,
+    zero sheds, and Python-level retained memory flat after warmup.
+
+    Retained bytes are DIRECTLY counted with tracemalloc (numpy buffers
+    included) — RSS is explicitly not asserted (unreliable under load, see
+    working notes). The bound catches any per-request retention: leaking
+    even one decoded 48px fp32 array per request would be ~11 MB across
+    the soak vs the 2 MB budget. (The on-chip 1024px flash soak lives in
+    PERF.md; this pins the daemon's code paths.)"""
+    import gc
+    import tracemalloc
+
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    srv = VAEServer(
+        wrapper, resolution=RES, max_batch=4, max_wait_ms=1.0, port=0
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        png_small = _png_bytes(seed=100, size=24)
+        png_big = _png_bytes(seed=101, size=48)
+        pixels = np.zeros((RES, RES, 3), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, pixels)
+        npy_body = buf.getvalue()
+        _, _, latents_npy = _post(srv, "/encode", png_small)
+
+        reqs = [
+            ("/reconstruct", png_small),
+            ("/reconstruct", png_big),
+            ("/reconstruct?format=npy", npy_body),
+            ("/encode", png_big),
+            ("/decode", latents_npy),
+        ]
+
+        def run_batch(n, offset):
+            errors = []
+
+            def fire(i):
+                path, body = reqs[(offset + i) % len(reqs)]
+                try:
+                    status, _, _ = _post(srv, path, body)
+                    assert status == 200
+                except Exception as e:  # noqa: BLE001
+                    errors.append((path, e))
+
+            threads = [
+                threading.Thread(target=fire, args=(i,)) for i in range(n)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert not errors, errors[:3]
+
+        # warmup: compile every endpoint/shape, populate caches/buffers
+        for start in range(0, 100, 10):
+            run_batch(10, start)
+        gc.collect()
+        tracemalloc.start()
+        base = tracemalloc.take_snapshot()
+        for start in range(0, 400, 10):
+            run_batch(10, start)
+        gc.collect()
+        grown = tracemalloc.take_snapshot()
+        tracemalloc.stop()
+
+        growth = sum(
+            s.size_diff for s in grown.compare_to(base, "filename")
+            if s.size_diff > 0
+        )
+        assert growth < 2 * 1024 * 1024, (
+            f"retained {growth/1e6:.2f} MB across 400 steady-state requests"
+        )
+        stats = srv.stats()
+        assert stats["requests"] >= 500
+        assert stats["errors"] == 0
+        assert stats["rejected_overload"] == 0
+        # the latency buffer is bounded by construction (4096 -> 2048)
+        assert len(srv._latencies) <= 4096
+    finally:
+        srv.shutdown()
+
+
 def test_resolve_serving_attention_impl_policy():
     """Serving is always single-device, so 'auto' upgrades to the fused
     Pallas kernel from 4096 tokens up (batched forwards measure
