@@ -295,10 +295,13 @@ class VAEServer:
             # flash attention (explicit or auto-resolved above 4096 tokens)
             # must know the mesh BEFORE the warmup traces: the kernel then
             # shard_maps itself per batch shard instead of leaving GSPMD an
-            # unpartitionable custom call (see pallas_attention.eligible)
+            # unpartitionable custom call (see pallas_attention.eligible);
+            # cleared in shutdown() so later traces in the same process
+            # (tests, embedded use) don't inherit a stale mesh
             from .ops import pallas_attention
 
             pallas_attention.set_shard_mesh(self.mesh)
+            self._installed_attn_shard_mesh = True
         self.started = time.time()
         self.requests = 0
         self.errors = 0
@@ -339,6 +342,10 @@ class VAEServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.close()
+        if getattr(self, "_installed_attn_shard_mesh", False):
+            from .ops import pallas_attention
+
+            pallas_attention.set_shard_mesh(None)
 
     def graceful_shutdown(self, timeout: float = 30.0) -> None:
         """Drain-and-exit for preemption (SIGTERM on a preemptible VM —
@@ -368,6 +375,10 @@ class VAEServer:
                     break
             time.sleep(0.02)
         self.httpd.server_close()
+        if getattr(self, "_installed_attn_shard_mesh", False):
+            from .ops import pallas_attention
+
+            pallas_attention.set_shard_mesh(None)
         logger.info(
             "Graceful shutdown complete: %d request(s) served in total.",
             self.requests,
