@@ -42,6 +42,13 @@ def test_evaluate_cli_end_to_end(tmp_path):
         ]
     )
     assert rc == 0
+    # the CLI installs the flash-attention shard mesh for its own traces
+    # (8 virtual devices under the test conftest) and must restore the
+    # global on exit — a leaked mesh bakes a wrong shard_map decision into
+    # any later in-process trace (this bit tests/test_flash_attention.py)
+    from vae_channel_dynamics_tpu.ops import pallas_attention
+
+    assert pallas_attention._SHARD_MESH is None
     outdir = ckpt / "eval_results_test"
     metrics = (outdir / "eval_metrics.txt").read_text()
     assert "Average MSE:" in metrics

@@ -99,7 +99,22 @@ def _activation_grid_png(act_chw: np.ndarray, path: str, nrow: int = 8) -> None:
 
 
 def main(argv=None) -> int:
+    """CLI entry point. Wraps :func:`_eval_main` so the flash-attention
+    shard-mesh global this CLI installs (see the ``set_shard_mesh`` call
+    below) is restored on every exit path — same install/clear lifecycle
+    the Trainer and VAEServer follow, so an in-process caller (tests,
+    notebooks) never inherits a stale mesh baked into later traces."""
     apply_platform_env()
+    from .ops import pallas_attention
+
+    prev_mesh = pallas_attention._SHARD_MESH
+    try:
+        return _eval_main(argv)
+    finally:
+        pallas_attention.set_shard_mesh(prev_mesh)
+
+
+def _eval_main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
