@@ -57,12 +57,15 @@ def main():
         jnp.zeros((1, 64, 64, 3)), sample_posterior=False,
     )["params"])
     mesh = make_mesh()
-    data = (
+    # Device-resident batch, same methodology as bench.py: the tunneled H2D
+    # path costs hundreds of ms per 12.6 MB transfer and would otherwise
+    # dominate the variant deltas this bench exists to measure.
+    data = jax.device_put(
         np.random.default_rng(0)
         .uniform(-1, 1, (batch, resolution, resolution, 3))
         .astype(np.float32)
     )
-    mask = np.ones(batch, np.float32)
+    mask = jnp.ones(batch, jnp.float32)
     rng = jax.random.PRNGKey(2)
 
     for label, so, se, sp, ema in CASES:

@@ -317,6 +317,27 @@ def test_flash_under_data_mesh_matches_single_device():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_flash_under_indivisible_mesh_fails_clearly():
+    """A mesh whose data axis does not divide the batch — the signature of a
+    STALE mesh leaked by an earlier model in the same process — must raise a
+    trace-time error naming set_shard_mesh, not shard_map's generic
+    divisibility error (eligible() cannot catch this: it never sees the
+    batch). Regression for the full-suite ordering failure where a leaked
+    8-device mesh broke batch-2 kernel calls."""
+    import pytest
+
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+
+    q, k, v = _qkv(b=2, n=256, c=128, seed=3)
+    kw = dict(scale=0.088, out_dtype=jnp.float32, precision=HIGHEST)
+    pallas_attention.set_shard_mesh(make_mesh(8))
+    try:
+        with pytest.raises(ValueError, match="set_shard_mesh"):
+            flash_attention(q, k, v, **kw)
+    finally:
+        pallas_attention.set_shard_mesh(None)
+
+
 def test_flash_under_spatial_mesh_matches_single_device():
     """Spatially-sharded mesh: the token axis is split, so flash_attention
     goes sequence-parallel — each shard all-gathers K/V along ``spatial``

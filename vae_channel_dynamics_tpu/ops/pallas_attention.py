@@ -439,6 +439,25 @@ def flash_attention(
         axes = dict(mesh.shape)
         data = "data" if int(axes.get("data", 1)) > 1 else None
         sp = "spatial" if int(axes.get("spatial", 1)) > 1 else None
+        # eligible() cannot see the batch (it takes tokens/channels only),
+        # so a mesh whose data axis does not divide the batch — typically a
+        # stale mesh left installed by an earlier model in the same process
+        # — would otherwise surface as a cryptic shard_map divisibility
+        # error. Fail at trace time with the actual cause.
+        if data is not None and q.shape[0] % int(axes["data"]):
+            raise ValueError(
+                f"flash attention: installed shard mesh {dict(mesh.shape)} "
+                f"does not divide the batch ({q.shape[0]} % {axes['data']} "
+                "!= 0). If this model is not meant to run sharded, a stale "
+                "mesh is installed — clear it with set_shard_mesh(None)."
+            )
+        if sp is not None and q.shape[1] % int(axes["spatial"]):
+            raise ValueError(
+                f"flash attention: installed shard mesh {dict(mesh.shape)} "
+                f"does not divide the token rows ({q.shape[1]} % "
+                f"{axes['spatial']} != 0); eligible() was consulted before "
+                "set_shard_mesh() installed this mesh."
+            )
 
         def local(q_, k_, v_):
             if sp is not None:
