@@ -165,6 +165,27 @@ def test_chunked_backward_drops_quadratic_temp():
     assert chunked_t < naive_t / 8
 
 
+def test_model_auto_policy_is_batch_aware():
+    """Structural proof that the AttentionBlock threads its trace-time batch
+    into resolve_impl: at 16384 tokens (the 1024px mid block) batch 1 lowers
+    to the naive einsum (no scan — the measured in-model winner, 673.9 vs
+    chunked 685.6 ms), while batch 2's residual exceeds the budget and
+    lowers to the chunked lax.scan (a stablehlo while loop). Lowering only —
+    nothing is compiled or executed at these shapes."""
+    from vae_channel_dynamics_tpu.models.vae import AttentionBlock
+
+    blk = AttentionBlock(channels=128, attn_impl="auto", full_name="mid")
+    key = jax.random.PRNGKey(0)
+
+    def lowered_text(batch):
+        x = jax.ShapeDtypeStruct((batch, 128, 128, 128), jnp.float32)
+        variables = jax.eval_shape(blk.init, key, x)
+        return jax.jit(blk.apply).lower(variables, x).as_text()
+
+    assert "while" not in lowered_text(1)   # naive: no online-softmax scan
+    assert "while" in lowered_text(2)       # chunked: lax.scan -> while
+
+
 def test_resolve_model_plumbs_attention_impl():
     wrapper = resolve_model(
         {"architecture": "tiny", "pretrained_vae_name": None,

@@ -182,17 +182,26 @@ def test_resolve_impl_flash():
 
 def test_resolve_impl_auto_policy_table():
     """The measured shared policy (resolvers' docstrings / PERF.md):
-    TRAINING auto = naive <= 4096 tokens, chunked above (flash measures
-    748.6 vs chunked's 685.6 ms in the 1024px train step despite winning
-    at the op level); FORWARD-ONLY auto (serve/server/evaluate) = flash
-    from 4096 tokens up when the kernel's shape/mesh constraints hold
-    (fastest at every measured batched forward point)."""
+    TRAINING auto = naive <= 4096 tokens; above that, naive while the
+    backward's quadratic residual (B*N^2*4 bytes) fits the measured budget
+    (batch 1 @1024px: naive 673.9 vs chunked 685.6 ms in-model), chunked
+    otherwise (flash measures 748.6 ms in the same step despite winning at
+    the op level); FORWARD-ONLY auto (serve/server/evaluate) = flash from
+    4096 tokens up when the kernel's shape/mesh constraints hold (fastest
+    at every measured batched forward point)."""
     from vae_channel_dynamics_tpu.ops.attention import resolve_serving_impl
 
-    # training policy: byte-identical programs to rounds 1-3
+    # training policy: batch-unknown traces stay byte-identical to rounds
+    # 1-3 (conservatively chunked above the threshold)
     assert resolve_impl("auto", 4096, 512) == "naive"
     assert resolve_impl("auto", 16384, 512) == "chunked"
     assert resolve_impl("auto", 16384) == "chunked"
+    # batch-aware: the 1024px batch-1 residual (1.07 GB) fits the budget ->
+    # naive (the measured in-model winner); batch 2 (2.1 GB) does not
+    assert resolve_impl("auto", 16384, 512, batch=1) == "naive"
+    assert resolve_impl("auto", 16384, 512, batch=2) == "chunked"
+    # below the threshold the batch never matters
+    assert resolve_impl("auto", 4096, 512, batch=64) == "naive"
     # serving policy: flash at >= 4096 when eligible
     assert resolve_serving_impl("auto", 4096, 512) == "flash"
     assert resolve_serving_impl("auto", 16384, 512) == "flash"

@@ -554,9 +554,11 @@ class AttentionBlock(TapModule):
     (ops/pallas_attention.py) — chunked's memory at naive-or-better speed
     (falls back to chunked when its shape constraints don't hold);
     ``auto`` (default) picks naive up to 4096 tokens (<=512px mid block)
-    and chunked above — the TRAINING policy; forward-only CLIs resolve
-    ``auto`` through ``ops.attention.resolve_serving_impl``, which takes
-    flash from 4096 tokens up. Both measured tables live on the
+    and chunked above, EXCEPT that naive is kept above the threshold while
+    the backward's quadratic residual still fits (batch 1 @1024px — the
+    measured in-model winner) — the TRAINING policy; forward-only CLIs
+    resolve ``auto`` through ``ops.attention.resolve_serving_impl``, which
+    takes flash from 4096 tokens up. Both measured tables live on the
     resolvers' docstrings."""
 
     channels: int = 0
@@ -590,7 +592,7 @@ class AttentionBlock(TapModule):
         q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
         scale = 1.0 / math.sqrt(c)
         prec = _precision_for(self.dtype)
-        impl = resolve_impl(self.attn_impl, hh * ww, c)
+        impl = resolve_impl(self.attn_impl, hh * ww, c, batch=b)
         if impl == "flash":
             from ..ops import pallas_attention
 

@@ -51,6 +51,17 @@ AUTO_CHUNK_THRESHOLD = 4096
 # delta is -0.07 ms on a ~50 ms model call), so the serving resolver
 # upgrades auto at >= this count rather than > (PERF.md token-count sweep).
 SERVING_FLASH_MIN_TOKENS = 4096
+# Above the token threshold, training ``auto`` still picks naive when the
+# backward's quadratic residual (batch * tokens^2 * 4 bytes fp32) fits this
+# budget: the in-model A/B at the 1024px wall (SDXL train step, batch 1,
+# remat full, PERF.md "Fused flash BACKWARD") measures naive 673.9 ms vs
+# chunked 685.6 — the residual (1.07 GB at b1/16384) is worth paying when it
+# fits. 1.25 GiB admits exactly the measured point; 2x it (batch 2 @1024px)
+# is a measured compile-time HBM OOM for the whole model either way. The
+# batch here is the TRACE-time global batch, so multi-chip meshes (where the
+# per-device residual would be batch/N of this) stay conservatively chunked
+# — only the measured single-chip regime changes.
+NAIVE_BWD_RESIDUAL_BUDGET_BYTES = int(1.25 * 2**30)
 DEFAULT_CHUNK = 1024
 
 
@@ -133,7 +144,10 @@ def chunked_attention(
 
 
 def resolve_impl(
-    attn_impl: str, num_tokens: int, channels: Optional[int] = None
+    attn_impl: str,
+    num_tokens: int,
+    channels: Optional[int] = None,
+    batch: Optional[int] = None,
 ) -> str:
     """THE shared ``attention_impl`` policy for TRAINING traces (the model
     default; forward-only surfaces use :func:`resolve_serving_impl`).
@@ -141,10 +155,11 @@ def resolve_impl(
     table (PERF.md "Fused Pallas flash attention"; 1024px SDXL train step,
     batch 1, remat full, round-4 re-measurement with the fused backward):
 
-    | tokens            | resolution (SDXL /8) | auto    | why (measured) |
-    |-------------------|----------------------|---------|----------------|
-    | <= 4096           | <= 512px             | naive   | fastest fwd+bwd at batch 1, ties flash at batch 8 (4096tok b8 grad: 7.73 vs 7.91 ms); quadratic buffer fits |
-    | > 4096            | > 512px              | chunked | O(N*chunk) memory for +1.7% step time (685.6 vs naive 673.9 ms); flash measures 748.6 ms IN-MODEL despite winning at the op level (grads 14.6 vs chunked 17.6 ms b1/16384) — the custom-call boundaries in the rematerialized backward cost more than the kernels save |
+    | tokens  | resolution (SDXL /8) | auto    | why (measured) |
+    |---------|----------------------|---------|----------------|
+    | <= 4096 | <= 512px             | naive   | fastest fwd+bwd at batch 1, ties flash at batch 8 (4096tok b8 grad: 7.73 vs 7.91 ms); quadratic buffer fits |
+    | > 4096, residual fits | 1024px @ batch 1 | naive | the backward's B*N^2*4-byte residual (1.07 GB at b1/16384) fits ``NAIVE_BWD_RESIDUAL_BUDGET_BYTES`` and naive measures 673.9 vs chunked 685.6 ms in-model — requires ``batch`` (the model passes its trace-time batch; ``batch=None`` stays conservative) |
+    | > 4096, residual too big (or batch unknown) | > 512px | chunked | O(N*chunk) memory for +1.7% step time; flash measures 748.6 ms IN-MODEL despite winning at the op level (grads 14.6 vs chunked 17.6 ms b1/16384) — the custom-call boundaries in the rematerialized backward cost more than the kernels save |
 
     ``flash`` therefore remains opt-in for training; it IS the serving
     default above 4096 tokens (see :func:`resolve_serving_impl`), where it
@@ -157,7 +172,15 @@ def resolve_impl(
             f"Unknown attention_impl {attn_impl!r}; "
             "expected 'auto', 'naive', 'chunked' or 'flash'."
         )
-    return "chunked" if num_tokens > AUTO_CHUNK_THRESHOLD else "naive"
+    if num_tokens <= AUTO_CHUNK_THRESHOLD:
+        return "naive"
+    if (
+        batch is not None
+        and batch * num_tokens * num_tokens * 4
+        <= NAIVE_BWD_RESIDUAL_BUDGET_BYTES
+    ):
+        return "naive"
+    return "chunked"
 
 
 def resolve_serving_impl(

@@ -257,11 +257,11 @@ class Trainer:
                     )
                     wrapper.attn_impl = "auto"
             # installed for 'auto' too, and for UNsupported meshes as well:
-            # the shared resolver (ops.attention.resolve_impl) selects flash
-            # above 4096 tokens only when eligible() accepts the installed
-            # mesh, so it must see the mesh BEFORE tracing — supported
-            # meshes shard the kernel, unsupported ones push auto to
-            # chunked instead of an unpartitionable custom call.
+            # the model's explicit-flash path consults eligible(), which
+            # accepts or rejects based on the installed mesh, so it must see
+            # the mesh BEFORE tracing — supported meshes shard the kernel,
+            # unsupported ones fall back to chunked instead of an
+            # unpartitionable custom call.
             pallas_attention.set_shard_mesh(mesh)
             self._installed_attn_shard_mesh = True
         vae_config = wrapper.config
