@@ -64,6 +64,16 @@ from vae_channel_dynamics_tpu.training import (  # noqa: E402
 BASELINE_IMAGES_PER_SEC = 3000.0
 
 
+def parse_remat_env(value: str):
+    """THE BENCH_REMAT convention, shared with experiments/*: 0/none →
+    no remat, 1/full → block remat, conv → save conv outputs; anything
+    else falls back to no remat (never crashes mid-bench)."""
+    return {
+        "0": False, "none": False, "1": "full", "full": "full",
+        "conv": "conv",
+    }.get(value, False)
+
+
 def _tracking_config():
     return {
         "enabled": True,
@@ -467,10 +477,7 @@ def main() -> int:
     # 256px, and skipping the recompute is worth ~14% (51.6 vs 45.3 img/s).
     # BENCH_REMAT: 0/none (default), 1/full (block remat), conv (save conv
     # outputs, recompute elementwise only).
-    remat_env = os.environ.get("BENCH_REMAT", "0")
-    remat = {
-        "0": False, "none": False, "1": "full", "full": "full", "conv": "conv",
-    }.get(remat_env, False)
+    remat = parse_remat_env(os.environ.get("BENCH_REMAT", "0"))
     if not on_tpu:
         remat = False
 
@@ -590,6 +597,15 @@ def main() -> int:
                 file=sys.stderr,
             )
             if fused_ips > best["ips"]:
+                # The headline JSON is already on stdout (driver contract:
+                # emit before the optional phases) — flag the supersession
+                # explicitly instead of silently re-baselining the extras.
+                print(
+                    f"# NOTE: fused impl beat the published headline "
+                    f"({fused_ips:.1f} > {best['ips']:.1f} img/s); headline "
+                    "stands (emitted first), extras below use fused",
+                    file=sys.stderr,
+                )
                 best = {"batch": batch, "ips": fused_ips, "dt": dt_f}
                 best_impl = "fused"
         except Exception as e:  # noqa: BLE001

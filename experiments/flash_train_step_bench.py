@@ -37,10 +37,7 @@ def main():
     rng = np.random.default_rng(0)
     batch_np = rng.uniform(-1, 1, (1, 1024, 1024, 3)).astype(np.float32)
     mask = np.ones((1,), np.float32)
-    remat = {"none": False, "0": False}.get(
-        os.environ.get("BENCH_REMAT", "full"),
-        os.environ.get("BENCH_REMAT", "full"),
-    )
+    remat = bench.parse_remat_env(os.environ.get("BENCH_REMAT", "full"))
     impls = sys.argv[1:] or ["flash"]
     for attn_impl in impls:
         # fresh device buffers per impl: the jitted step donates the state,

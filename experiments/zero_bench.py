@@ -1,5 +1,5 @@
 """ZeRO-stack cost on the chip: ms/step replicated vs ZeRO-1 vs ZeRO-1+EMA
-vs ZeRO-3 (SDXL @256px, bf16, AdamW, batch from BENCH_BATCHES or 16).
+vs ZeRO-3 (SDXL @256px, bf16, AdamW, batch from BENCH_BATCH or 16).
 
 On the single chip the shardings are degenerate (1 shard per leaf) but the
 reshard/gather code paths — sharding constraints on the optimizer update,
@@ -50,7 +50,16 @@ CASES = (
 def main():
     cfg = VAEConfig.sdxl()
     resolution = int(os.environ.get("BENCH_RESOLUTION", "256"))
-    batch = int(os.environ.get("BENCH_BATCHES", "16").split(",")[0])
+    # BENCH_BATCH (singular): this bench measures ONE batch size per run —
+    # a bench.py-style BENCH_BATCHES list would silently drop all but the
+    # first value, so reject it loudly instead.
+    batch_env = os.environ.get("BENCH_BATCH", "16")
+    if "," in batch_env or "BENCH_BATCHES" in os.environ:
+        raise SystemExit(
+            "zero_bench measures a single batch size: set BENCH_BATCH=<n> "
+            "(not a BENCH_BATCHES list) and run once per size"
+        )
+    batch = int(batch_env)
     module = AutoencoderKL(config=cfg, dtype=jnp.bfloat16)
     params_host = jax.device_get(module.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},

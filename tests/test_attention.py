@@ -186,6 +186,53 @@ def test_model_auto_policy_is_batch_aware():
     assert "while" in lowered_text(2)       # chunked: lax.scan -> while
 
 
+def test_auto_policy_symbolic_batch_stays_chunked():
+    """jax.export traces with a SYMBOLIC batch dim; the residual-budget rule
+    (true at b=1, false at b>=2) would raise InconclusiveDimensionOperation
+    if evaluated on it. resolve_impl must treat a non-int batch as unknown
+    and resolve conservatively to chunked — this is what keeps
+    tools/export_model.py working above 512px."""
+    from jax import export as jexport
+
+    from vae_channel_dynamics_tpu.ops.attention import resolve_impl
+
+    (b,) = jexport.symbolic_shape("b")
+    assert resolve_impl("auto", 16384, batch=b) == "chunked"
+    # concrete batches keep the measured policy
+    assert resolve_impl("auto", 16384, batch=1) == "naive"
+    assert resolve_impl("auto", 16384, batch=2) == "chunked"
+    assert resolve_impl("auto", 16384, batch=None) == "chunked"
+
+
+def test_export_symbolic_batch_above_chunk_threshold():
+    """End-to-end guard for the symbolic-batch crash: exporting a forward
+    whose mid block exceeds AUTO_CHUNK_THRESHOLD tokens with a symbolic
+    batch dim must trace (the tiny config downsamples /4, so 512px input
+    puts 16384 tokens in the mid block — same count as SDXL @1024px)."""
+    from jax import export as jexport
+
+    cfg = VAEConfig.tiny()
+    model = AutoencoderKL(config=cfg, attn_impl="auto")
+    small = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = jax.eval_shape(
+        model.init,
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        small,
+    )
+
+    def fwd(params, x):
+        return model.apply(params, x, sample_posterior=False)["reconstruction"]
+
+    (b,) = jexport.symbolic_shape("b")
+    x_spec = jax.ShapeDtypeStruct((b, 512, 512, 3), jnp.float32)
+    # lowering alone exercises resolve_impl on the symbolic batch; the
+    # pre-fix code raised InconclusiveDimensionOperation here
+    exported = jexport.export(jax.jit(fwd))(variables, x_spec)
+    # in_avals is the flattened arg list (params leaves first, x last);
+    # the image input kept its symbolic leading dim
+    assert str(exported.in_avals[-1].shape[0]) == "b"
+
+
 def test_resolve_model_plumbs_attention_impl():
     wrapper = resolve_model(
         {"architecture": "tiny", "pretrained_vae_name": None,

@@ -606,6 +606,10 @@ def test_soak_500_mixed_requests_memory_stable():
                 t.start()
             for t in threads:
                 t.join(timeout=300)
+            # a hung request (server deadlock) leaves its thread alive with
+            # nothing appended to errors — the join timeout alone would pass
+            hung = [t for t in threads if t.is_alive()]
+            assert not hung, f"{len(hung)} request thread(s) hung past 300s"
             assert not errors, errors[:3]
 
         # warmup: compile every endpoint/shape, populate caches/buffers
@@ -635,6 +639,32 @@ def test_soak_500_mixed_requests_memory_stable():
         assert len(srv._latencies) <= 4096
     finally:
         srv.shutdown()
+
+
+def test_failed_init_does_not_leak_attention_shard_mesh():
+    """A VAEServer whose construction fails AFTER installing the global
+    attention shard mesh (e.g. EADDRINUSE on the bind) leaves the caller
+    with no object to shutdown() — __init__ itself must clear the mesh so
+    later traces in the process don't inherit it."""
+    import socket
+
+    from vae_channel_dynamics_tpu.ops import pallas_attention
+
+    assert pallas_attention._SHARD_MESH is None
+    blocker = socket.socket()
+    blocker.bind(("127.0.0.1", 0))
+    blocker.listen(1)
+    port = blocker.getsockname()[1]
+    wrapper = SDXLVAEWrapper(config=VAEConfig.tiny(), seed=0)
+    try:
+        with pytest.raises(OSError):
+            VAEServer(
+                wrapper, resolution=RES, max_batch=8, max_wait_ms=40.0,
+                port=port, use_mesh=True,
+            )
+        assert pallas_attention._SHARD_MESH is None
+    finally:
+        blocker.close()
 
 
 def test_resolve_serving_attention_impl_policy():

@@ -165,14 +165,18 @@ def _eval_main(argv=None) -> int:
     # run's pinned choice is honored
     from .ops.attention import resolve_serving_impl
 
-    eval_resolution = as_int(config.get("data", {}).get("resolution"), 256)
+    # `resolution` is THE single parse of data.resolution — both the impl
+    # decision here and the dataset resize below read it, so the pinned impl
+    # always matches the real mid-block token count
+    resolution = as_int(config.get("data", {}).get("resolution"), 256)
     ds_factor = 2 ** (len(vae_config.block_out_channels) - 1)
+    configured_impl = str(config.get("model", {}).get("attention_impl", "auto"))
     attn_impl = resolve_serving_impl(
-        str(config.get("model", {}).get("attention_impl", "auto")),
-        (eval_resolution // ds_factor) ** 2,
+        configured_impl,
+        (resolution // ds_factor) ** 2,
         vae_config.block_out_channels[-1],
     )
-    if attn_impl == "flash":
+    if attn_impl == "flash" and configured_impl == "auto":
         logger.info(
             "attention_impl=auto: evaluation is forward-only, using the "
             "fused Pallas kernel (flash)."
@@ -211,7 +215,6 @@ def _eval_main(argv=None) -> int:
         max_samples = None
     if args.max_eval_samples is not None:
         max_samples = args.max_eval_samples
-    resolution = as_int(dc.get("resolution"), 256)
     eval_dataset = load_and_preprocess_dataset(
         dataset_name=dataset_name,
         dataset_config_name=dataset_config_name,

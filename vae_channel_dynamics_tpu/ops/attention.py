@@ -33,6 +33,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Finite stand-in for -inf: exp(-1e30 - m) underflows to 0 for any real m,
 # but never produces the NaN that (-inf) - (-inf) would in the first step.
@@ -174,8 +175,12 @@ def resolve_impl(
         )
     if num_tokens <= AUTO_CHUNK_THRESHOLD:
         return "naive"
+    # The residual-budget rule needs a CONCRETE batch: under jax.export a
+    # symbolic batch dim (jax.export.symbolic_shape) reaches here and any
+    # inequality on it raises InconclusiveDimensionOperation (true at b=1,
+    # false at b>=2). Symbolic/unknown batches stay conservatively chunked.
     if (
-        batch is not None
+        isinstance(batch, (int, np.integer))
         and batch * num_tokens * num_tokens * 4
         <= NAIVE_BWD_RESIDUAL_BUDGET_BYTES
     ):

@@ -308,9 +308,6 @@ class VAEServer:
         self._inflight = 0
         self._latencies: List[float] = []
         self._lock = threading.Lock()
-        self.batcher = MicroBatcher(
-            self._run, max_batch, max_wait_ms, max_queue=max_queue
-        )
 
         class _Server(ThreadingHTTPServer):
             # the stdlib default accept backlog of 5 drops connections the
@@ -318,7 +315,24 @@ class VAEServer:
             request_queue_size = 128
             daemon_threads = True
 
-        self.httpd = _Server((host, port), self._make_handler())
+        try:
+            self.batcher = MicroBatcher(
+                self._run, max_batch, max_wait_ms, max_queue=max_queue
+            )
+            self.httpd = _Server((host, port), self._make_handler())
+        except BaseException:
+            # A failed construction (e.g. EADDRINUSE on the bind) leaves the
+            # caller with no server object to shutdown(), so the installed
+            # module-global attention shard mesh would leak into every later
+            # trace in this process — clear it on the way out.
+            if getattr(self, "_installed_attn_shard_mesh", False):
+                from .ops import pallas_attention
+
+                pallas_attention.set_shard_mesh(None)
+                self._installed_attn_shard_mesh = False
+            if getattr(self, "batcher", None) is not None:
+                self.batcher.close()
+            raise
 
     # ------------------------------------------------------------------ #
     @property

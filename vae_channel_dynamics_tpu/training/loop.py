@@ -234,36 +234,36 @@ class Trainer:
                     "kernel_impl='auto'.", dict(mesh.shape),
                 )
                 wrapper.impl = "auto"
-        if wrapper.attn_impl in ("flash", "auto") and mesh.size > 1:
+        if wrapper.attn_impl == "flash" and mesh.size > 1:
+            # Only the explicit-flash path ever consults the installed mesh
+            # (training 'auto' resolves to naive/chunked, never flash — see
+            # ops.attention.resolve_impl), so installing it for 'auto' runs
+            # would just widen the stale-global exposure for nothing.
             from ..ops import pallas_attention
 
-            supported = pallas_attention.mesh_supported(mesh)
-            if wrapper.attn_impl == "flash":
-                if supported:
-                    logger.info(
-                        "model.attention_impl='flash' on a %d-device mesh "
-                        "%s: the kernel runs per-shard via shard_map "
-                        "(sequence-parallel over a sharded spatial axis).",
-                        mesh.size, dict(mesh.shape),
-                    )
-                else:
-                    # multi-slice meshes would route the K/V all-gather
-                    # over DCN, where chunked's in-graph scan is the better
-                    # program
-                    logger.warning(
-                        "model.attention_impl='flash' supports data/spatial "
-                        "meshes, not %s — falling back to "
-                        "attention_impl='auto'.", dict(mesh.shape),
-                    )
-                    wrapper.attn_impl = "auto"
-            # installed for 'auto' too, and for UNsupported meshes as well:
-            # the model's explicit-flash path consults eligible(), which
-            # accepts or rejects based on the installed mesh, so it must see
-            # the mesh BEFORE tracing — supported meshes shard the kernel,
-            # unsupported ones fall back to chunked instead of an
-            # unpartitionable custom call.
-            pallas_attention.set_shard_mesh(mesh)
-            self._installed_attn_shard_mesh = True
+            if pallas_attention.mesh_supported(mesh):
+                logger.info(
+                    "model.attention_impl='flash' on a %d-device mesh "
+                    "%s: the kernel runs per-shard via shard_map "
+                    "(sequence-parallel over a sharded spatial axis).",
+                    mesh.size, dict(mesh.shape),
+                )
+                # the kernel must see the mesh BEFORE tracing: eligible()
+                # accepts or rejects based on it, and the accepted kernel
+                # shard_maps itself instead of leaving GSPMD an
+                # unpartitionable custom call
+                pallas_attention.set_shard_mesh(mesh)
+                self._installed_attn_shard_mesh = True
+            else:
+                # multi-slice meshes would route the K/V all-gather
+                # over DCN, where chunked's in-graph scan is the better
+                # program
+                logger.warning(
+                    "model.attention_impl='flash' supports data/spatial "
+                    "meshes, not %s — falling back to "
+                    "attention_impl='auto'.", dict(mesh.shape),
+                )
+                wrapper.attn_impl = "auto"
         vae_config = wrapper.config
         params = wrapper.params
 
