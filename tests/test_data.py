@@ -393,3 +393,25 @@ def test_tar_shard_dataset(tmp_path):
         str(tmp_path / "shard-0.tar"), resolution=16, max_samples=3
     )
     assert len(ds_one) == 3
+
+
+def test_prefetcher_propagates_source_errors():
+    """A crashed source iterator must surface as an error to the consumer,
+    not masquerade as a clean end-of-epoch (the trainer would otherwise
+    checkpoint a silently truncated run and keep going)."""
+    import pytest
+
+    from vae_channel_dynamics_tpu.data.pipeline import Prefetcher
+
+    def broken_source():
+        yield {"x": np.zeros(1)}
+        raise OSError("disk vanished mid-epoch")
+
+    pf = Prefetcher(broken_source(), depth=2)
+    got = [next(pf)]
+    with pytest.raises(RuntimeError, match="source iterator failed") as ei:
+        while True:
+            got.append(next(pf))
+    assert isinstance(ei.value.__cause__, OSError)
+    assert len(got) == 1
+    pf.close()

@@ -477,3 +477,99 @@ def test_map_history_bound_keeps_host_rss_flat():
         f"bounded soak grew {bounded_growth:.0f} MB "
         f"(unbounded control: {unbounded_growth:.0f} MB)"
     )
+
+
+# --------------------------------------------------------------------------- #
+# Pad-row masking of the stat taps (ops/stats.tap_mask)
+# --------------------------------------------------------------------------- #
+def test_tap_stats_ignore_padded_rows():
+    """The trainer pads remainder batches by DUPLICATING the last sample
+    (parallel/mesh.pad_batch_to_multiple); the reference never pads, so its
+    hook stats are means over the real samples only. With the step's mask
+    installed via ops.stats.tap_mask, every scalar metric must equal the
+    unpadded reference value — the duplicates carry zero weight."""
+    from vae_channel_dynamics_tpu.ops import stats as S
+
+    rng = np.random.default_rng(0)
+    valid = rng.normal(size=(3, 4, 4, 8)).astype(np.float32)
+    pad = np.repeat(valid[-1:], 5, axis=0)  # 5 duplicated pad rows
+    padded = jnp.asarray(np.concatenate([valid, pad], axis=0))
+    mask = jnp.asarray(np.array([1.0] * 3 + [0.0] * 5, np.float32))
+    metrics = (
+        "mean_abs_activation_per_channel",
+        "mean_activation",
+        "std_activation",
+        "zero_fraction_per_channel",
+    )
+
+    reference = S.channel_stats(jnp.asarray(valid), metrics)
+    with S.tap_mask(mask):
+        masked = S.channel_stats(padded, metrics)
+    unmasked = S.channel_stats(padded, metrics)
+
+    for name in metrics:
+        np.testing.assert_allclose(
+            np.asarray(masked[name]), np.asarray(reference[name]),
+            rtol=2e-6, atol=2e-6, err_msg=name,
+        )
+    # sanity: without the mask the duplicates DO skew the per-channel mean
+    assert not np.allclose(
+        np.asarray(unmasked["mean_abs_activation_per_channel"]),
+        np.asarray(reference["mean_abs_activation_per_channel"]),
+        rtol=1e-3,
+    )
+    # the mask is trace-scoped: cleared on exit
+    assert S._TAP_MASK is None
+
+
+def test_train_step_stats_match_unpadded_batch():
+    """End-to-end through the jitted train step: the stats accumulated from
+    a padded remainder batch equal those from the unpadded batch (same
+    params, same RNG), while the padded forward still runs at the static
+    padded shape."""
+    import optax
+
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import TrainState, make_train_step
+
+    capture = (
+        (
+            "encoder.conv_in",
+            "output",
+            ("mean_abs_activation_per_channel", "std_activation"),
+        ),
+    )
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg, capture=capture)
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    x_valid = np.random.default_rng(1).normal(size=(2, 16, 16, 3)).astype(
+        np.float32
+    )
+    params = module.init(rngs, jnp.asarray(x_valid), sample_posterior=True)[
+        "params"
+    ]
+    tx = optax.sgd(0.0)  # lr 0: params unchanged, isolates the stats
+    step = make_train_step(module, tx, kl_weight=1e-6, donate=False)
+
+    def run(batch_np, mask_np):
+        state = TrainState.create(
+            params, tx,
+            stats_acc={
+                "encoder.conv_in.output.mean_abs_activation_per_channel":
+                    jnp.zeros(cfg.block_out_channels[0]),
+                "encoder.conv_in.output.std_activation": jnp.zeros(()),
+            },
+        )
+        new_state, _, _ = step(
+            state, {"pixel_values": jnp.asarray(batch_np)},
+            jnp.asarray(mask_np), jax.random.PRNGKey(7),
+        )
+        return jax.device_get(new_state.stats_acc)
+
+    padded = np.concatenate([x_valid, np.repeat(x_valid[-1:], 2, axis=0)])
+    acc_padded = run(padded, np.array([1, 1, 0, 0], np.float32))
+    acc_exact = run(x_valid, np.array([1, 1], np.float32))
+    for k in acc_exact:
+        np.testing.assert_allclose(
+            acc_padded[k], acc_exact[k], rtol=3e-6, atol=3e-6, err_msg=k
+        )

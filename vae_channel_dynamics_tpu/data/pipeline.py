@@ -679,6 +679,7 @@ class Prefetcher:
         self.sharding = sharding
         self._queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
         self._sentinel = object()
+        self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(iterator,), daemon=True
@@ -705,6 +706,11 @@ class Prefetcher:
                     }
                 if not self._put(batch):
                     break
+        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+            # a crashed source must NOT look like a clean end-of-epoch: the
+            # consumer would otherwise checkpoint a silently truncated run
+            # and keep training on it
+            self._error = e
         finally:
             self._put(self._sentinel)
             # unwind the source (e.g. a generator holding a DataLoader's
@@ -741,5 +747,10 @@ class Prefetcher:
             raise StopIteration
         item = self._queue.get()
         if item is self._sentinel:
+            if self._error is not None:
+                error, self._error = self._error, None
+                raise RuntimeError(
+                    "Prefetcher source iterator failed mid-stream"
+                ) from error
             raise StopIteration
         return item

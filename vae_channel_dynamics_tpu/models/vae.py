@@ -498,7 +498,21 @@ class ResnetBlock2D(TapModule):
 
         x = x.astype(self.dtype)
         n, hh, ww, _ = x.shape
-        denom = float(n * hh * ww)
+        # the kernel's tap side output is a per-sample spatial SUM (B, C);
+        # weight by the installed batch-validity mask (ops/stats.tap_mask)
+        # like the XLA taps do, so pad rows carry zero statistical weight
+        from ..ops.stats import mask_for
+
+        _m = mask_for(jnp.zeros((n, 1)))
+        if _m is None:
+            denom = float(n * hh * ww)
+        else:
+            denom = jnp.maximum(jnp.sum(_m), 1.0) * float(hh * ww)
+
+        def _tap_reduce(tap):
+            if _m is None:
+                return jnp.sum(tap, axis=0) / denom
+            return jnp.sum(tap * _m[:, None], axis=0) / denom
         g1, gb1 = self.norm1(x, params_only=True)
         k1, kb1 = self.conv1(x, params_only=True)
         self._tap_materialized("norm1", "input", x)
@@ -515,7 +529,7 @@ class ResnetBlock2D(TapModule):
             self.sow_stat(
                 f"{self.full_name}.norm1.output."
                 "mean_abs_activation_per_channel",
-                jnp.sum(tap1, axis=0) / denom,
+                _tap_reduce(tap1),
             )
         residual = (
             self.conv_shortcut(x)
@@ -537,7 +551,7 @@ class ResnetBlock2D(TapModule):
             self.sow_stat(
                 f"{self.full_name}.norm2.output."
                 "mean_abs_activation_per_channel",
-                jnp.sum(tap2, axis=0) / denom,
+                _tap_reduce(tap2),
             )
         return y
 

@@ -199,7 +199,10 @@ def pad_batch_to_multiple(
     """Pad the batch's leading axis up to a multiple of the mesh size by
     repeating the last element; returns (padded_batch, validity mask). Keeps
     remainder batches usable under SPMD's static-shape requirement without
-    skewing metrics (the mask weights the loss/metric averages)."""
+    skewing metrics: the mask weights the loss/metric averages AND the
+    activation-stat taps (ops/stats.tap_mask, installed by the train step;
+    the fused Pallas resnet kernels weight their per-sample side outputs the
+    same way), so the duplicated pad rows carry zero statistical weight."""
     n = next(iter(batch.values())).shape[0]
     padded_n = ((n + multiple - 1) // multiple) * multiple
     mask = np.zeros(padded_n, np.float32)

@@ -78,9 +78,22 @@ class AsyncSaver:
         thread would list the directory before the new checkpoint exists
         and lag one save behind."""
         self.wait()
-        snapshot = jax.tree.map(
-            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state
-        )
+
+        def _snapshot_leaf(x):
+            if not isinstance(x, jax.Array):
+                return x
+            if x.is_fully_addressable:
+                return jnp.copy(x)
+            # Multi-host: this process only addresses its own shards, and
+            # computations (jnp.copy) on non-fully-addressable arrays raise.
+            # The state handed to save is fully replicated by this point
+            # (plain DP state, or ZeRO state re-replicated by _for_save's
+            # gather), and device_get IS legal on replicated global arrays —
+            # it blocks on the D2H here, trading a little async-ness for a
+            # snapshot the writer thread can use.
+            return jax.device_get(x)
+
+        snapshot = jax.tree.map(_snapshot_leaf, state)
 
         def _write() -> None:
             try:
@@ -95,11 +108,15 @@ class AsyncSaver:
         )
         self._thread.start()
 
-    def wait(self) -> None:
+    def wait(self, reraise: bool = True) -> None:
+        """Join any in-flight write. ``reraise=False`` joins without raising
+        a stored writer error (for exception-path cleanup, where raising
+        would mask the in-flight exception); the error stays stored and the
+        next ``wait()``/``save()`` surfaces it."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
-        if self._error is not None:
+        if reraise and self._error is not None:
             error, self._error = self._error, None
             raise error
 
@@ -145,10 +162,14 @@ def read_resume_meta(path: str) -> Optional[Dict]:
     try:
         with open(p) as f:
             meta = json.load(f)
-        if not all(
-            k in meta for k in ("micro_step", "epoch", "in_epoch_batches")
-        ):
-            raise ValueError(f"missing keys in {sorted(meta)}")
+        # values must be usable as ints — a sidecar with nulls/strings would
+        # otherwise crash the resume arithmetic at startup, exactly the
+        # refuse-to-start failure this tolerant reader exists to avoid
+        for k in ("micro_step", "epoch", "in_epoch_batches"):
+            if not isinstance(meta.get(k), int):
+                raise ValueError(
+                    f"key {k!r} missing or non-integer in {sorted(meta)}"
+                )
         return meta
     except (ValueError, OSError) as e:  # ValueError covers JSONDecodeError
         logger.warning(

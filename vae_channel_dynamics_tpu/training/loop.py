@@ -302,16 +302,6 @@ class Trainer:
             seed=seed, shard_index=process_index, num_shards=process_count,
             drop_last=process_count > 1,
         )
-        batches_per_epoch_cap = None
-        if process_count > 1:
-            try:
-                smallest_shard = len(train_dataset) // process_count
-                batches_per_epoch_cap = smallest_shard // per_process_batch
-            except TypeError:
-                batches_per_epoch_cap = as_int(
-                    self.training_config.get("max_steps_per_epoch_iterable"),
-                    10000,
-                )
         val_loader = None
         do_validation = bool(dc.get("do_validation", False))
         if do_validation:
@@ -608,6 +598,10 @@ class Trainer:
         except ValueError:  # not the main thread (embedded use): no handler
             _prev_sigterm = None
         preempted = False
+        # True when the stop came from training.stop_after_steps (a
+        # deterministic bounded run, identical on every process) rather than
+        # a SIGTERM kill timer — the former keeps the full finalize
+        stop_was_deterministic = False
 
         # ---------------- loop ---------------- #
         logger.info(
@@ -642,7 +636,9 @@ class Trainer:
 
         def _uniform_cap(loader):
             """Uniform per-process batch count for multi-host epochs (every
-            process must dispatch the same SPMD program count)."""
+            process must dispatch the same SPMD program count) — the ONE
+            implementation, shared by the train loader (also feeding the
+            resume arithmetic below) and the validation loader."""
             if process_count == 1:
                 return None
             try:
@@ -653,7 +649,9 @@ class Trainer:
                     10000,
                 )
 
-        def _prepared_batches(loader, cap="train", skip=0):
+        batches_per_epoch_cap = _uniform_cap(train_loader)
+
+        def _prepared_batches(loader, skip=0):
             """Pad + shard-place batches ahead of consumption in a background
             thread, overlapping H2D transfer with device compute (the
             pin_memory/prefetch analog of data_utils.py:218-225).
@@ -672,7 +670,7 @@ class Trainer:
             resume point by one. Accepted: it matches what torch/accelerate's
             ``skip_first_batches`` does, and a dataset where whole batches
             vanish mid-training has no stable step<->data mapping anyway."""
-            batch_cap = batches_per_epoch_cap if cap == "train" else _uniform_cap(loader)
+            batch_cap = _uniform_cap(loader)
             pad_to = _pad_multiple(loader)
             index_skip = 0
             if skip and not loader.is_iterable:
@@ -771,359 +769,411 @@ class Trainer:
                 "in_epoch_batches": in_epoch_micro,
             }
 
-        for epoch in range(start_epoch, num_train_epochs):
-            # Epoch averages accumulate as host floats, drained from a small
-            # on-device buffer at log intervals (the fetch there is already a
-            # sync point) — long epochs must not retain thousands of device
-            # scalars until epoch end.
-            epoch_sums = dict.fromkeys(metric_keys, 0.0)
-            epoch_count = 0
-            pending_metrics: list = []
+        try:
+            for epoch in range(start_epoch, num_train_epochs):
+                # Epoch averages accumulate as host floats, drained from a small
+                # on-device buffer at log intervals (the fetch there is already a
+                # sync point) — long epochs must not retain thousands of device
+                # scalars until epoch end.
+                epoch_sums = dict.fromkeys(metric_keys, 0.0)
+                epoch_count = 0
+                pending_metrics: list = []
 
-            def _drain_epoch_metrics():
-                """Fetch buffered step metrics; returns the newest host dict."""
-                nonlocal epoch_count
-                if not pending_metrics:
-                    return None
-                host = jax.device_get(pending_metrics)
-                pending_metrics.clear()
-                for m in host:
-                    for k in metric_keys:
-                        epoch_sums[k] += float(m[k])
-                epoch_count += len(host)
-                return host[-1]
+                def _drain_epoch_metrics():
+                    """Fetch buffered step metrics; returns the newest host dict."""
+                    nonlocal epoch_count
+                    if not pending_metrics:
+                        return None
+                    host = jax.device_get(pending_metrics)
+                    pending_metrics.clear()
+                    for m in host:
+                        for k in metric_keys:
+                            epoch_sums[k] += float(m[k])
+                    epoch_count += len(host)
+                    return host[-1]
 
-            train_loader.set_epoch(epoch)
-            # in-epoch micro-batch position, persisted in every checkpoint's
-            # resume_meta.json so resume re-places the stream exactly (the
-            # count includes batches consumed by the fast-forward skip)
-            in_epoch_micro = (
-                resume_skip_batches if epoch == start_epoch else 0
-            )
-
-            train_batches = _prepared_batches(
-                train_loader,
-                skip=resume_skip_batches if epoch == start_epoch else 0,
-            )
-            for padded, mask, n_valid in train_batches:
-                images_seen += n_valid
-
-                micro_step += 1
-                in_epoch_micro += 1
-                is_update = micro_step % accum == 0
-                next_global = global_step + 1 if is_update else global_step
-                want_maps = (
-                    step_maps is not None
-                    and is_update
-                    and track_interval > 0
-                    and next_global % track_interval == 0
+                train_loader.set_epoch(epoch)
+                # in-epoch micro-batch position, persisted in every checkpoint's
+                # resume_meta.json so resume re-places the stream exactly (the
+                # count includes batches consumed by the fast-forward skip)
+                in_epoch_micro = (
+                    resume_skip_batches if epoch == start_epoch else 0
                 )
-                tracer.maybe_start(next_global)
-                fn = step_maps if want_maps else step_plain
-                state, metrics, maps = fn(state, padded, mask, base_rng)
-                tracer.maybe_stop(next_global)
-                pending_metrics.append(metrics)
 
-                if not is_update:
-                    continue
-                global_step = next_global
-                # reference parity (src/train.py:310): classification results
-                # do not persist across steps — an intervention only fires
-                # when its interval lands on a step with a fresh classification
-                classification_output = {}
+                train_batches = _prepared_batches(
+                    train_loader,
+                    skip=resume_skip_batches if epoch == start_epoch else 0,
+                )
+                for padded, mask, n_valid in train_batches:
+                    # n_valid counts THIS process's shard of the global
+                    # batch; multi-host loaders run drop_last (every local
+                    # batch full and identical across processes), so the
+                    # global count is exactly n_valid x process_count
+                    images_seen += n_valid * process_count
 
-                # --- monitor aggregation (train.py:308-309 analog) ---
-                activity_metrics: Dict[str, float] = {}
-                if monitor.enabled and track_interval > 0 and (
-                    global_step % track_interval == 0
-                ):
-                    activity_metrics = monitor.step(
-                        global_step, state.stats_acc, state.stats_count, maps
+                    micro_step += 1
+                    in_epoch_micro += 1
+                    is_update = micro_step % accum == 0
+                    next_global = global_step + 1 if is_update else global_step
+                    want_maps = (
+                        step_maps is not None
+                        and is_update
+                        and track_interval > 0
+                        and next_global % track_interval == 0
                     )
-                    state = state.reset_stats()
+                    tracer.maybe_start(next_global)
+                    fn = step_maps if want_maps else step_plain
+                    state, metrics, maps = fn(state, padded, mask, base_rng)
+                    tracer.maybe_stop(next_global)
+                    pending_metrics.append(metrics)
 
-                    # --- classification (train.py:311-314) ---
-                    if classifier is not None:
-                        tracked = monitor.get_data_for_step(global_step)
-                        classification_output = (
-                            classifier.classify(tracked, global_step)
-                            if tracked else {}
+                    if not is_update:
+                        continue
+                    global_step = next_global
+                    # reference parity (src/train.py:310): classification results
+                    # do not persist across steps — an intervention only fires
+                    # when its interval lands on a step with a fresh classification
+                    classification_output = {}
+
+                    # --- monitor aggregation (train.py:308-309 analog) ---
+                    activity_metrics: Dict[str, float] = {}
+                    if monitor.enabled and track_interval > 0 and (
+                        global_step % track_interval == 0
+                    ):
+                        activity_metrics = monitor.step(
+                            global_step, state.stats_acc, state.stats_count, maps
                         )
-                        if not classification_output:
+                        state = state.reset_stats()
+
+                        # --- classification (train.py:311-314) ---
+                        if classifier is not None:
+                            tracked = monitor.get_data_for_step(global_step)
+                            classification_output = (
+                                classifier.classify(tracked, global_step)
+                                if tracked else {}
+                            )
+                            if not classification_output:
+                                logger.info(
+                                    "Step %d: Classifier found no inactive channels.",
+                                    global_step,
+                                )
+
+                    # --- intervention (train.py:315-328) ---
+                    if (
+                        handler is not None
+                        and intervention_interval > 0
+                        and global_step % intervention_interval == 0
+                    ):
+                        if classification_output:
+                            new_params = handler.intervene(
+                                state.params, classification_output, global_step,
+                                replicate_leaf=replicate_leaf,
+                            )
+                            if handler.num_nudges_applied > 0:
+                                state = state.replace(params=new_params)
+                            inactive_total = sum(
+                                len(v["inactive_channel_indices"])
+                                for v in classification_output.values()
+                            )
+                            reporter.log(
+                                {
+                                    "inactive_channels": inactive_total,
+                                    "nudged_scales": handler.num_nudges_applied,
+                                },
+                                global_step,
+                            )
+                            if is_main:
+                                with open(
+                                    os.path.join(
+                                        self.output_dir, "intervention_history.csv"
+                                    ),
+                                    "a",
+                                ) as fh:
+                                    fh.write(
+                                        f"{global_step},{inactive_total},"
+                                        f"{handler.num_nudges_applied}\n"
+                                    )
+                        else:
                             logger.info(
-                                "Step %d: Classifier found no inactive channels.",
+                                "Step %d: Intervention due, but no regions classified.",
                                 global_step,
                             )
 
-                # --- intervention (train.py:315-328) ---
-                if (
-                    handler is not None
-                    and intervention_interval > 0
-                    and global_step % intervention_interval == 0
-                ):
-                    if classification_output:
-                        new_params = handler.intervene(
-                            state.params, classification_output, global_step,
-                            replicate_leaf=replicate_leaf,
-                        )
-                        if handler.num_nudges_applied > 0:
-                            state = state.replace(params=new_params)
-                        inactive_total = sum(
-                            len(v["inactive_channel_indices"])
-                            for v in classification_output.values()
-                        )
-                        reporter.log(
-                            {
-                                "inactive_channels": inactive_total,
-                                "nudged_scales": handler.num_nudges_applied,
-                            },
-                            global_step,
-                        )
-                        if is_main:
-                            with open(
-                                os.path.join(
-                                    self.output_dir, "intervention_history.csv"
-                                ),
-                                "a",
-                            ) as fh:
-                                fh.write(
-                                    f"{global_step},{inactive_total},"
-                                    f"{handler.num_nudges_applied}\n"
-                                )
-                    else:
+                    # --- logging (train.py:331-338) ---
+                    if global_step % log_interval == 0:
+                        host_metrics = _drain_epoch_metrics()
+                        # failure detection (absent in the reference, SURVEY §5):
+                        # a non-finite loss means divergence — stop before
+                        # burning the rest of the run, unless configured off.
+                        # Checked on EVERY process (the loss is replicated):
+                        # a main-only abort would leave the other processes
+                        # blocked in their next collective until the
+                        # distributed-runtime heartbeat timeout.
+                        if not np.isfinite(float(host_metrics["train_loss_step"])):
+                            msg = (
+                                f"Non-finite loss at step {global_step}: "
+                                f"{host_metrics}"
+                            )
+                            if bool(tc.get("abort_on_nonfinite", True)):
+                                raise FloatingPointError(msg)
+                            logger.error(msg)
+                    if global_step % log_interval == 0 and is_main:
+                        logs = {
+                            "train_loss_step": float(host_metrics["train_loss_step"]),
+                            "rec_loss": float(host_metrics["rec_loss"]),
+                            "kl_loss": float(host_metrics["kl_loss"]),
+                            "grad_norm": float(host_metrics["grad_norm"]),
+                            # schedule(global_step) is one step AHEAD of the
+                            # lr the update just applied (optax evaluates at
+                            # the pre-increment count) — deliberate parity:
+                            # the reference logs get_last_lr() AFTER
+                            # sched.step() (train.py:305,334), the same
+                            # off-by-one
+                            "lr": float(schedule(global_step)),
+                            "epoch_current": epoch,
+                            **activity_metrics,
+                        }
+                        reporter.log(logs, global_step)
                         logger.info(
-                            "Step %d: Intervention due, but no regions classified.",
-                            global_step,
+                            "step %d loss %.4e lr %.3e (%.1f img/s)",
+                            global_step, logs["train_loss_step"], logs["lr"],
+                            images_seen / max(time.time() - t_start, 1e-6),
                         )
 
-                # --- logging (train.py:331-338) ---
-                if global_step % log_interval == 0:
-                    host_metrics = _drain_epoch_metrics()
-                if global_step % log_interval == 0 and is_main:
-                    # failure detection (absent in the reference, SURVEY §5):
-                    # a non-finite loss means divergence — stop before
-                    # burning the rest of the run, unless configured off
-                    if not np.isfinite(float(host_metrics["train_loss_step"])):
-                        msg = (
-                            f"Non-finite loss at step {global_step}: "
-                            f"{host_metrics}"
-                        )
-                        if bool(tc.get("abort_on_nonfinite", True)):
-                            raise FloatingPointError(msg)
-                        logger.error(msg)
-                    logs = {
-                        "train_loss_step": float(host_metrics["train_loss_step"]),
-                        "rec_loss": float(host_metrics["rec_loss"]),
-                        "kl_loss": float(host_metrics["kl_loss"]),
-                        "grad_norm": float(host_metrics["grad_norm"]),
-                        "lr": float(schedule(global_step)),
-                        "epoch_current": epoch,
-                        **activity_metrics,
-                    }
-                    reporter.log(logs, global_step)
-                    logger.info(
-                        "step %d loss %.4e lr %.3e (%.1f img/s)",
-                        global_step, logs["train_loss_step"], logs["lr"],
-                        images_seen / max(time.time() - t_start, 1e-6),
-                    )
-
-                # --- logit lens (train.py:339-353) ---
-                if logit_lens is not None and ll_interval > 0 and (
-                    global_step % ll_interval == 0
-                ):
-                    current = monitor.get_data_for_step(global_step)
-                    if current:
-                        logit_lens.run_logit_lens_with_activations(
-                            global_step=global_step,
-                            activations_to_process=current,
-                            # empty layers_to_analyze_direct falls through to
-                            # target_tracked_metrics (the reference treats []
-                            # as present and silently does nothing — §5a-6)
-                            layers_to_analyze=(
-                                ll_config.get("layers_to_analyze_direct")
-                                or ll_config.get("target_tracked_metrics", [])
-                            ),
-                            num_batch_samples_to_viz=ll_config.get(
-                                "num_batch_samples_to_viz", 1
-                            ),
-                            projection_type=ll_config.get(
-                                "projection_type", "mini_decoder_single_channel"
-                            ),
-                        )
-                    else:
-                        logger.warning(
-                            "LogitLens: No activation data for step %d.", global_step
-                        )
-
-                # --- dead-weight tracking (train.py:355-356) ---
-                if dead_tracker is not None and dnt_interval > 0 and (
-                    global_step % dnt_interval == 0
-                ):
-                    dead_tracker.track_dead_neurons(
-                        state.params, global_step,
-                        replicate_leaf=replicate_leaf,
-                    )
-
-                # --- periodic checkpoint (train.py:358-362) ---
-                # the save predicate is deterministic and identical on all
-                # processes, so _for_save (a collective under multi-host
-                # ZeRO) runs on every process; only the write is main-only
-                # deviation from the reference (train.py:358 divides by the
-                # raw config value): interval 0/negative = periodic saving
-                # disabled instead of ZeroDivisionError mid-run
-                if save_interval_steps > 0 and (
-                    global_step % save_interval_steps == 0
-                ):
-                    save_state = _for_save(state)
-                    if is_main:
-                        ckpt_path = os.path.join(
-                            self.output_dir,
-                            f"{checkpoint_prefix}-{global_step}",
-                        )
-                        keep_last_n = as_int(
-                            self.saving_config.get("keep_last_n"), 0
-                        )
-
-                        def _prune(
-                            out=self.output_dir, pfx=checkpoint_prefix,
-                            n=keep_last_n,
-                        ):
-                            prune_checkpoints(out, pfx, n)
-
-                        if ckpt_saver is not None:
-                            # prune inside the writer AFTER the save lands;
-                            # pruning here would list the dir before the new
-                            # checkpoint exists (keep_last_n would
-                            # transiently hold n+1 and lag one save behind)
-                            ckpt_saver.save(
-                                ckpt_path, save_state, on_complete=_prune,
-                                meta=_resume_meta(),
+                    # --- logit lens (train.py:339-353) ---
+                    if logit_lens is not None and ll_interval > 0 and (
+                        global_step % ll_interval == 0
+                    ):
+                        current = monitor.get_data_for_step(global_step)
+                        if current:
+                            logit_lens.run_logit_lens_with_activations(
+                                global_step=global_step,
+                                activations_to_process=current,
+                                # empty layers_to_analyze_direct falls through to
+                                # target_tracked_metrics (the reference treats []
+                                # as present and silently does nothing — §5a-6)
+                                layers_to_analyze=(
+                                    ll_config.get("layers_to_analyze_direct")
+                                    or ll_config.get("target_tracked_metrics", [])
+                                ),
+                                num_batch_samples_to_viz=ll_config.get(
+                                    "num_batch_samples_to_viz", 1
+                                ),
+                                projection_type=ll_config.get(
+                                    "projection_type", "mini_decoder_single_channel"
+                                ),
                             )
                         else:
-                            save_train_state(
-                                ckpt_path, save_state, meta=_resume_meta()
+                            logger.warning(
+                                "LogitLens: No activation data for step %d.", global_step
                             )
-                            _prune()
 
-                # --- preemption-safe exit (no reference equivalent) ---
-                # Multi-host runs must agree on stopping (the step is a
-                # collective). The SIGTERM flag is asynchronous — it may hit
-                # only some processes — so it is consulted at log-interval
-                # boundaries there and OR-reduced across processes; a single
-                # host checks every step for the fastest reaction.
-                # stop_after_steps is DETERMINISTIC (every process computes
-                # the same predicate at the same step), so it stops exactly
-                # at step N with no collective agreement needed — gating it
-                # on log_interval would overshoot to the next multiple.
-                deterministic_stop = (
-                    stop_after_steps > 0 and global_step >= stop_after_steps
-                )
-                if deterministic_stop:
-                    preempt_flag["hit"] = True
-                if (
-                    process_count == 1
-                    or deterministic_stop
-                    or global_step % log_interval == 0
-                ):
-                    stop_now = preempt_flag["hit"]
-                    if process_count > 1 and not deterministic_stop:
-                        from jax.experimental import multihost_utils
-
-                        stop_now = bool(
-                            multihost_utils.process_allgather(
-                                np.array([stop_now])
-                            ).any()
+                    # --- dead-weight tracking (train.py:355-356) ---
+                    if dead_tracker is not None and dnt_interval > 0 and (
+                        global_step % dnt_interval == 0
+                    ):
+                        dead_tracker.track_dead_neurons(
+                            state.params, global_step,
+                            replicate_leaf=replicate_leaf,
                         )
-                    if stop_now:
-                        # all processes agreed on stop_now, so all reach
-                        # the _for_save collective together
+
+                    # --- periodic checkpoint (train.py:358-362) ---
+                    # the save predicate is deterministic and identical on all
+                    # processes, so _for_save (a collective under multi-host
+                    # ZeRO) runs on every process; only the write is main-only
+                    # deviation from the reference (train.py:358 divides by the
+                    # raw config value): interval 0/negative = periodic saving
+                    # disabled instead of ZeroDivisionError mid-run
+                    if save_interval_steps > 0 and (
+                        global_step % save_interval_steps == 0
+                    ):
                         save_state = _for_save(state)
                         if is_main:
-                            if ckpt_saver is not None:
-                                ckpt_saver.wait()
-                            save_train_state(
-                                os.path.join(
-                                    self.output_dir,
-                                    f"{checkpoint_prefix}-{global_step}",
-                                ),
-                                save_state,
-                                meta=_resume_meta(),
+                            ckpt_path = os.path.join(
+                                self.output_dir,
+                                f"{checkpoint_prefix}-{global_step}",
                             )
-                        logger.warning(
-                            "Preemption checkpoint written at step %d; "
-                            "exiting the training loop.", global_step,
-                        )
-                        preempted = True
-                        break
+                            keep_last_n = as_int(
+                                self.saving_config.get("keep_last_n"), 0
+                            )
 
-                # --- step-interval validation (train.py:366-369) ---
+                            def _prune(
+                                out=self.output_dir, pfx=checkpoint_prefix,
+                                n=keep_last_n,
+                            ):
+                                prune_checkpoints(out, pfx, n)
+
+                            if ckpt_saver is not None:
+                                # prune inside the writer AFTER the save lands;
+                                # pruning here would list the dir before the new
+                                # checkpoint exists (keep_last_n would
+                                # transiently hold n+1 and lag one save behind)
+                                ckpt_saver.save(
+                                    ckpt_path, save_state, on_complete=_prune,
+                                    meta=_resume_meta(),
+                                )
+                            else:
+                                save_train_state(
+                                    ckpt_path, save_state, meta=_resume_meta()
+                                )
+                                _prune()
+
+                    # --- preemption-safe exit (no reference equivalent) ---
+                    # Multi-host runs must agree on stopping (the step is a
+                    # collective). The SIGTERM flag is asynchronous — it may hit
+                    # only some processes — so it is consulted at log-interval
+                    # boundaries there and OR-reduced across processes; a single
+                    # host checks every step for the fastest reaction.
+                    # stop_after_steps is DETERMINISTIC (every process computes
+                    # the same predicate at the same step), so it stops exactly
+                    # at step N with no collective agreement needed — gating it
+                    # on log_interval would overshoot to the next multiple.
+                    deterministic_stop = (
+                        stop_after_steps > 0 and global_step >= stop_after_steps
+                    )
+                    if deterministic_stop:
+                        preempt_flag["hit"] = True
+                    if (
+                        process_count == 1
+                        or deterministic_stop
+                        or global_step % log_interval == 0
+                    ):
+                        stop_now = preempt_flag["hit"]
+                        if process_count > 1 and not deterministic_stop:
+                            from jax.experimental import multihost_utils
+
+                            stop_now = bool(
+                                multihost_utils.process_allgather(
+                                    np.array([stop_now])
+                                ).any()
+                            )
+                        if stop_now:
+                            # all processes agreed on stop_now, so all reach
+                            # the _for_save collective together
+                            save_state = _for_save(state)
+                            if is_main:
+                                if ckpt_saver is not None:
+                                    ckpt_saver.wait()
+                                save_train_state(
+                                    os.path.join(
+                                        self.output_dir,
+                                        f"{checkpoint_prefix}-{global_step}",
+                                    ),
+                                    save_state,
+                                    meta=_resume_meta(),
+                                )
+                            logger.warning(
+                                "Preemption checkpoint written at step %d; "
+                                "exiting the training loop.", global_step,
+                            )
+                            preempted = True
+                            stop_was_deterministic = deterministic_stop
+                            break
+
+                    # --- step-interval validation (train.py:366-369) ---
+                    if (
+                        do_validation
+                        and val_loader is not None
+                        and validation_steps > 0
+                        and global_step % validation_steps == 0
+                    ):
+                        self._run_validation(
+                            eval_step, state,
+                            _prepared_batches(val_loader),
+                            global_step, reporter,
+                        )
+
+                    if global_step >= max_train_steps:
+                        break
+                # early break (max_train_steps) leaves the prefetch worker parked
+                # on a full queue; close() unblocks it and releases the loader
+                train_batches.close()
+
+                # --- epoch summary (train.py:371-381) ---
+                _drain_epoch_metrics()
+                if epoch_count and is_main:
+                    reporter.log(
+                        {
+                            "train/epoch_avg_loss":
+                                epoch_sums["train_loss_step"] / epoch_count,
+                            "train/epoch_avg_rec_loss":
+                                epoch_sums["rec_loss"] / epoch_count,
+                            "train/epoch_avg_kl_loss":
+                                epoch_sums["kl_loss"] / epoch_count,
+                            "epoch_completed": epoch,
+                        },
+                        global_step,
+                    )
+                logger.info("Epoch %d completed.", epoch)
+
+                # --- epoch-interval validation (train.py:382-385) ---
+                # (skipped when preempted: the grace window is for the
+                # checkpoint, not a validation pass)
                 if (
-                    do_validation
+                    not preempted
+                    and do_validation
                     and val_loader is not None
-                    and validation_steps > 0
-                    and global_step % validation_steps == 0
+                    and validation_epochs > 0
+                    and (epoch + 1) % validation_epochs == 0
+                    and validation_steps <= 0
                 ):
                     self._run_validation(
                         eval_step, state,
-                        _prepared_batches(val_loader, cap="val"),
+                        _prepared_batches(val_loader),
                         global_step, reporter,
                     )
-
-                if global_step >= max_train_steps:
+                if preempted:
                     break
-            # early break (max_train_steps) leaves the prefetch worker parked
-            # on a full queue; close() unblocks it and releases the loader
-            train_batches.close()
+                if global_step >= max_train_steps:
+                    logger.info("Reached max_train_steps.")
+                    break
 
-            # --- epoch summary (train.py:371-381) ---
-            _drain_epoch_metrics()
-            if epoch_count and is_main:
-                reporter.log(
-                    {
-                        "train/epoch_avg_loss":
-                            epoch_sums["train_loss_step"] / epoch_count,
-                        "train/epoch_avg_rec_loss":
-                            epoch_sums["rec_loss"] / epoch_count,
-                        "train/epoch_avg_kl_loss":
-                            epoch_sums["kl_loss"] / epoch_count,
-                        "epoch_completed": epoch,
-                    },
-                    global_step,
-                )
-            logger.info("Epoch %d completed.", epoch)
-
-            # --- epoch-interval validation (train.py:382-385) ---
-            # (skipped when preempted: the grace window is for the
-            # checkpoint, not a validation pass)
-            if (
-                not preempted
-                and do_validation
-                and val_loader is not None
-                and validation_epochs > 0
-                and (epoch + 1) % validation_epochs == 0
-                and validation_steps <= 0
-            ):
-                self._run_validation(
-                    eval_step, state,
-                    _prepared_batches(val_loader, cap="val"),
-                    global_step, reporter,
-                )
-            if preempted:
-                break
-            if global_step >= max_train_steps:
-                logger.info("Reached max_train_steps.")
-                break
-
-        if _prev_sigterm is not None:
-            signal.signal(signal.SIGTERM, _prev_sigterm)
+        finally:
+            # an abort out of the loop (e.g. the non-finite-loss
+            # FloatingPointError) must not leave the SIGTERM handler
+            # installed pointing at a dead flag, the profiler open, or the
+            # checkpoint writer unjoined — embedded callers outlive train()
+            if _prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, _prev_sigterm)
+            if ckpt_saver is not None:
+                # join the writer without raising: a writer error here would
+                # mask the in-flight loop exception; the normal path
+                # re-raises it via the wait() below
+                ckpt_saver.wait(reraise=False)
+            try:
+                tracer.close()
+            except Exception:  # noqa: BLE001 — teardown must not mask
+                logger.exception("Profiler trace close failed")
         if ckpt_saver is not None:
             ckpt_saver.wait()
-        tracer.close()
         elapsed = time.time() - t_start
         logger.info(
             "Training finished: %d steps, %d images in %.1fs (%.1f img/s)",
             global_step, images_seen, elapsed, images_seen / max(elapsed, 1e-6),
         )
+
+        if preempted and not stop_was_deterministic:
+            # Real SIGTERM preemption: the grace window is for the
+            # preemption checkpoint (already written), not for the
+            # multi-minute finalize (final_model rewrite + StableHLO export
+            # + CSV/plots) — a SIGKILL mid-finalize would corrupt a
+            # final_model that a previous completed run may have left.
+            # `--resume_from auto` continues from the checkpoint and the
+            # resumed run writes the final artifacts. stop_after_steps exits
+            # through the same checkpoint path but is deterministic, not
+            # under a kill timer, so it keeps the full finalize.
+            logger.warning(
+                "Preempted: skipping final-model export/plots (the "
+                "preemption checkpoint at step %d is the resume artifact).",
+                global_step,
+            )
+            return dict(
+                final_model_dir=None,
+                global_step=global_step,
+                images_per_sec=images_seen / max(elapsed, 1e-6),
+                images_seen=images_seen,
+                preempted=True,
+            )
 
         # _for_save is a collective under multi-host ZeRO — every process
         # gathers; _finalize's early return then only skips host-side writes

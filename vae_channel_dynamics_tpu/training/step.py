@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.vae import flatten_stats
+from ..ops.stats import tap_mask
 from ..parallel.mesh import batch_sharding, replicated_sharding, vector_sharding
 from .state import TrainState
 
@@ -192,9 +193,15 @@ def make_train_step(
             loss = rec_loss + kl_weight * kl_loss
             return loss, (rec_loss, kl_loss, stats)
 
-        (loss, (rec_loss, kl_loss, stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        # tap_mask: the activation-stat taps weight per-sample contributions
+        # by the batch validity mask, so remainder-batch pad rows (duplicates
+        # of the last sample, parallel/mesh.pad_batch_to_multiple) carry zero
+        # weight — reference hook semantics, which never pad. Trace-time
+        # context: the mask tracer and the tap tracers share this trace.
+        with tap_mask(mask):
+            (loss, (rec_loss, kl_loss, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
