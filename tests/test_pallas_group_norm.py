@@ -161,3 +161,62 @@ def test_vgroupnorm_pallas_tap_wiring(data):
     np.testing.assert_allclose(
         np.asarray(s_p[key]), np.asarray(s_x[key]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_group_norm_rejects_unknown_impl():
+    """Typo'd impl strings must error, not silently take the XLA path (the
+    user would benchmark/debug the wrong kernel with no signal)."""
+    import pytest
+
+    from vae_channel_dynamics_tpu.ops.group_norm import group_norm
+
+    x = jnp.zeros((1, 4, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="group_norm impl"):
+        group_norm(x, jnp.ones(8), jnp.zeros(8), num_groups=2, impl="Pallas")
+
+
+def test_stats_kernel_respects_tap_mask():
+    """group_norm_silu_with_stats weights its per-sample |z| sums by the
+    installed batch-validity mask, matching the XLA tap path on padded
+    remainder batches."""
+    import numpy as np
+
+    from vae_channel_dynamics_tpu.ops import stats as S
+    from vae_channel_dynamics_tpu.ops.pallas_group_norm import (
+        group_norm_silu_with_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    valid = rng.normal(size=(2, 8, 16, 128)).astype(np.float32)
+    padded = np.concatenate([valid, np.repeat(valid[-1:], 2, axis=0)])
+    scale = jnp.asarray(rng.normal(size=128).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=128).astype(np.float32))
+    mask = jnp.asarray(np.array([1, 1, 0, 0], np.float32))
+
+    _, ref = group_norm_silu_with_stats(
+        jnp.asarray(valid), scale, bias, num_groups=8
+    )
+    with S.tap_mask(mask):
+        _, masked = group_norm_silu_with_stats(
+            jnp.asarray(padded), scale, bias, num_groups=8
+        )
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(ref), rtol=3e-6, atol=3e-6
+    )
+
+
+def test_masked_std_is_cancellation_safe():
+    """The masked std uses a two-pass formula: a large common mean must not
+    cancel away the variance in fp32 (E[x^2]-E[x]^2 would report ~0)."""
+    import numpy as np
+
+    from vae_channel_dynamics_tpu.ops import stats as S
+
+    rng = np.random.default_rng(1)
+    data = (50.0 + 0.1 * rng.normal(size=(2, 64, 64, 32))).astype(np.float32)
+    padded = np.concatenate([data, np.repeat(data[-1:], 2, axis=0)])
+    mask = jnp.asarray(np.array([1, 1, 0, 0], np.float32))
+    expected = np.std(data.astype(np.float64), ddof=1)
+    with S.tap_mask(mask):
+        got = float(S.std_activation(jnp.asarray(padded)))
+    np.testing.assert_allclose(got, expected, rtol=1e-3)

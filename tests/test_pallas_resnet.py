@@ -339,3 +339,76 @@ def test_block_fused_remat_conv_saves_fused_outputs():
         ),
         g_remat, g_plain,
     )
+
+
+def test_dw_cout_split_is_lane_aligned():
+    """The dW kernel's output-channel split must keep cout_tile a multiple
+    of LANE (Mosaic rejects non-lane-multiple block dims on real TPU; CPU
+    interpret mode would hide it). cout=384 is the trap: blind halving
+    yields a 96-wide tile."""
+    from vae_channel_dynamics_tpu.ops.pallas_resnet import (
+        LANE,
+        _pick_cout_split,
+    )
+
+    for cin in (128, 256, 384, 512, 640):
+        for cout in (128, 256, 384, 512, 640):
+            split = _pick_cout_split(cin, cout)
+            assert cout % split == 0
+            assert (cout // split) % LANE == 0, (cin, cout, split)
+    # pow2 behavior unchanged from the original halving loop
+    assert _pick_cout_split(512, 512) == 4
+    assert _pick_cout_split(256, 256) == 1
+    # 384 picks the divisor-of-3 split the halving loop could not
+    assert _pick_cout_split(384, 384) == 3
+
+
+def test_eligible_checks_backward_direction():
+    """eligible() must reject shapes whose FORWARD tiles but whose
+    backward input-gradient conv (channels swapped) does not — otherwise
+    jax.grad dies on the tiler assert after eligible() said yes."""
+    from vae_channel_dynamics_tpu.ops.pallas_resnet import (
+        _pick_tile_h,
+        eligible,
+    )
+
+    # find a (cin, cout) pair asymmetric enough that only one direction
+    # tiles at this spatial size; if none exists the invariant is vacuous
+    h, w = 2, 256
+    found = False
+    for cin, cout in ((128, 768), (128, 1024), (256, 640), (256, 768)):
+        fwd = _pick_tile_h(h, w, cin, cout)
+        bwd = _pick_tile_h(h, w, cout, cin)
+        if fwd is not None and bwd is None:
+            found = True
+            x = jnp.zeros((1, h, w, cin), jnp.bfloat16)
+            assert not eligible(x, cout, num_groups=8), (cin, cout)
+    assert found, "no direction-asymmetric shape found; widen the sweep"
+
+
+def test_installed_mesh_must_divide_batch():
+    """A stale installed mesh that does not divide a >1 batch raises a
+    trace-time error naming set_shard_mesh (the silent local fallback left
+    GSPMD an unpartitionable custom call); batch-1 init traces are exempt."""
+    from vae_channel_dynamics_tpu.ops import pallas_resnet
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    cin = cout = 128
+    x2 = jnp.zeros((2, 4, 16, cin), jnp.float32)
+    kernel = jnp.zeros((3, 3, cin, cout), jnp.float32)
+    gamma = jnp.ones(cin)
+    beta = jnp.zeros(cin)
+    bias = jnp.zeros(cout)
+    pallas_resnet.set_shard_mesh(mesh)
+    try:
+        with pytest.raises(ValueError, match="set_shard_mesh"):
+            pallas_resnet.gn_silu_conv3x3(
+                x2, gamma, beta, kernel, bias, num_groups=8
+            )
+        # batch 1 (init trace) stays on the local kernel without error
+        y, _, _ = pallas_resnet.gn_silu_conv3x3(
+            x2[:1], gamma, beta, kernel, bias, num_groups=8
+        )
+        assert y.shape == (1, 4, 16, cout)
+    finally:
+        pallas_resnet.set_shard_mesh(None)

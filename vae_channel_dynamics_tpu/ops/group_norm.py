@@ -88,6 +88,14 @@ def group_norm(
         return pallas_group_norm.group_norm_silu(
             x, scale, bias, num_groups=num_groups, eps=eps, fuse_silu=fuse_silu
         )
+    if impl not in ("auto", "xla", "fused"):
+        # 'fused' reaches here for the modules the fused resnet kernel does
+        # not cover (conv_in/out norms); anything else is a typo that would
+        # silently benchmark the wrong kernel
+        raise ValueError(
+            f"Unknown group_norm impl {impl!r}; expected 'auto', 'xla', "
+            "'pallas' or 'fused'."
+        )
     return _group_norm_xla(x, scale, bias, num_groups, eps, fuse_silu)
 
 

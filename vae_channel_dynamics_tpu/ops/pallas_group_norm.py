@@ -433,5 +433,18 @@ def group_norm_silu_with_stats(
         x3, scale.astype(jnp.float32), bias.astype(jnp.float32),
         num_groups, float(eps), bool(fuse_silu),
     )
-    mean_abs = jax.lax.stop_gradient(jnp.sum(abs_sum, axis=0)) / (b * h * w)
-    return y.reshape(b, h, w, c), mean_abs
+    # abs_sum is per-sample (B, C): weight by the installed batch-validity
+    # mask (ops/stats.tap_mask) like the XLA taps and the fused resnet
+    # kernels, so remainder-batch pad duplicates carry zero weight
+    from .stats import mask_for
+
+    m = mask_for(abs_sum)
+    summed = jax.lax.stop_gradient(
+        jnp.sum(abs_sum, axis=0) if m is None
+        else jnp.sum(abs_sum * m[:, None], axis=0)
+    )
+    denom = (
+        float(b * h * w) if m is None
+        else jnp.maximum(jnp.sum(m), 1.0) * float(h * w)
+    )
+    return y.reshape(b, h, w, c), summed / denom

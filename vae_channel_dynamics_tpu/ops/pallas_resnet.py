@@ -122,13 +122,20 @@ def _shard_wrap(local, mesh, x, gamma, beta, w3, bias, residual):
 
 
 def eligible(x: jax.Array, cout: int, num_groups: int) -> bool:
-    """Fused path needs lane-aligned channels and tileable spatial dims."""
+    """Fused path needs lane-aligned channels and tileable spatial dims —
+    in BOTH directions: the backward's input-gradient conv runs the same
+    row tiler with the channels swapped (``_conv_bwd_input`` convolves dy
+    (…, cout) back to (…, cin)), so an asymmetric-channel shape whose
+    forward tiles but whose swapped working set does not would pass a
+    forward-only check and then die on the tiler assert under jax.grad."""
     if x.ndim != 4:
         return False
     _, h, w, cin = x.shape
     if cin % LANE or cout % LANE or cin % num_groups:
         return False
     if w % 16 or _pick_tile_h(h, w, cin, cout) is None:
+        return False
+    if _pick_tile_h(h, w, cout, cin) is None:
         return False
     return True
 
@@ -459,6 +466,22 @@ def _dw_kernel(
         dw_ref[dy] += contrib
 
 
+def _pick_cout_split(cin: int, cout: int) -> int:
+    """Output-channel split for the dW kernel: keep the f32 accumulator
+    block under ~2.5 MB while keeping cout_tile LANE-aligned (Mosaic
+    rejects non-lane-multiple block dims), so iterate over divisors of
+    cout/LANE instead of blind halving — a halving loop would produce e.g.
+    96 for cout=384, which compiles in interpret mode but fails to lower
+    on real TPU."""
+    n_lanes = cout // LANE
+    for cand in range(1, n_lanes + 1):
+        if n_lanes % cand:
+            continue
+        if 3 * 3 * cin * (cout // cand) * 4 <= 2_500_000:
+            return cand
+    return n_lanes  # fallback: minimal (LANE-wide) tile
+
+
 def _conv_bwd_weights(
     x: jax.Array, a: jax.Array, o: jax.Array, dy: jax.Array
 ) -> jax.Array:
@@ -467,11 +490,7 @@ def _conv_bwd_weights(
     cout = dy.shape[-1]
     tile_h = _pick_tile_h(h, wd, cin, cout)
     assert tile_h is not None
-    # keep the f32 accumulator block under ~2.5 MB
-    co_split = 1
-    while (3 * 3 * cin * (cout // co_split) * 4 > 2_500_000
-           and cout // co_split > LANE):
-        co_split *= 2
+    co_split = _pick_cout_split(cin, cout)
     cout_tile = cout // co_split
 
     vec_in = lambda c: pl.BlockSpec(  # noqa: E731
@@ -656,6 +675,27 @@ def gn_silu_conv3x3(
 
     mesh = _SHARD_MESH
     ndata = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+    if (
+        mesh is not None
+        and mesh_supported(mesh)
+        and ndata > 1
+        and x.shape[0] > 1
+        and x.shape[0] % ndata != 0
+    ):
+        # Same trace-time guard as pallas_attention.flash_attention: falling
+        # through to the unsharded kernel here would leave GSPMD an
+        # unpartitionable custom call that all-gathers the global batch onto
+        # every device — a silent memory/step-time regression that surfaces
+        # only as an opaque compile-time HBM OOM at scale. Batch-1 traces
+        # (module.init under an already-installed mesh) are exempt: a
+        # 1-sample batch cannot be data-sharded by ANY mesh, so the local
+        # kernel is the only correct program, not a stale-mesh accident.
+        raise ValueError(
+            f"gn_silu_conv3x3: installed shard mesh {dict(mesh.shape)} does "
+            f"not divide the batch {x.shape[0]} — the caller traced with a "
+            "mesh from a previous run? Install the right mesh (or clear it) "
+            "with pallas_resnet.set_shard_mesh before tracing."
+        )
     if (
         mesh is not None
         and mesh_supported(mesh)

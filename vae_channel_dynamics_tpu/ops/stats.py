@@ -72,9 +72,6 @@ def mask_for(x: jax.Array) -> Optional[jax.Array]:
     return m.astype(jnp.float32)
 
 
-_mask_for = mask_for
-
-
 def _masked_channel_mean(v: jax.Array, m: jax.Array) -> jax.Array:
     """Mean of ``v`` over batch+spatial with per-sample weights ``m``."""
     # reduce spatial per sample first (better conditioned than one giant
@@ -86,7 +83,7 @@ def _masked_channel_mean(v: jax.Array, m: jax.Array) -> jax.Array:
 
 def mean_abs_activation_per_channel(x: jax.Array) -> jax.Array:
     xf = jnp.abs(x.astype(jnp.float32))
-    m = _mask_for(x)
+    m = mask_for(x)
     if m is None:
         return jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
     return _masked_channel_mean(xf, m)
@@ -94,7 +91,7 @@ def mean_abs_activation_per_channel(x: jax.Array) -> jax.Array:
 
 def mean_activation(x: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
-    m = _mask_for(x)
+    m = mask_for(x)
     if m is None:
         return jnp.mean(xf)
     per_sample = jnp.mean(xf, axis=tuple(range(1, x.ndim)))  # (B,)
@@ -103,22 +100,24 @@ def mean_activation(x: jax.Array) -> jax.Array:
 
 def std_activation(x: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
-    m = _mask_for(x)
+    m = mask_for(x)
     if m is None:
         return jnp.std(xf, ddof=1)
-    # masked unbiased std over all elements of the valid samples
+    # masked unbiased std over all elements of the valid samples, TWO-pass:
+    # the single-pass E[x^2]-E[x]^2 form catastrophically cancels in fp32
+    # when |mean| dominates std (the unmasked jnp.std is two-pass too)
     per_elem = math.prod(x.shape[1:])
     w = m.reshape((-1,) + (1,) * (x.ndim - 1))
     n = jnp.sum(m) * float(per_elem)
-    s = jnp.sum(xf * w)
-    ss = jnp.sum(xf * xf * w)
-    var = (ss - s * s / jnp.maximum(n, 1.0)) / jnp.maximum(n - 1.0, 1.0)
-    return jnp.sqrt(jnp.maximum(var, 0.0))
+    mean = jnp.sum(xf * w) / jnp.maximum(n, 1.0)
+    centered_sq = jnp.square(xf - mean)
+    var = jnp.sum(centered_sq * w) / jnp.maximum(n - 1.0, 1.0)
+    return jnp.sqrt(var)
 
 
 def zero_fraction_per_channel(x: jax.Array, tol: float = 1e-8) -> jax.Array:
     xf = (jnp.abs(x.astype(jnp.float32)) < tol).astype(jnp.float32)
-    m = _mask_for(x)
+    m = mask_for(x)
     if m is None:
         return jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
     return _masked_channel_mean(xf, m)
