@@ -109,12 +109,15 @@ def unflatten_params(
                 arr = _from_torch_layout(
                     torch_name, np.asarray(state_dict[torch_name]), key
                 )
-                if arr.shape != tuple(np.shape(child)):
+                # .shape/.dtype (not np.asarray) so abstract templates
+                # (jax.eval_shape ShapeDtypeStructs) work without ever
+                # materializing a real parameter tree
+                if arr.shape != tuple(child.shape):
                     raise ValueError(
                         f"Shape mismatch for {torch_name}: "
-                        f"{arr.shape} vs {np.shape(child)}"
+                        f"{arr.shape} vs {tuple(child.shape)}"
                     )
-                new[key] = arr.astype(np.asarray(child).dtype)
+                new[key] = arr.astype(np.dtype(child.dtype))
         return new
 
     return rebuild(template, ())
@@ -166,11 +169,33 @@ def load_model_dir(
         )
     state_dict = load_file(weights_path)
     if template is None:
-        from .wrapper import SDXLVAEWrapper
-
-        template = SDXLVAEWrapper(config=config).params
+        template = abstract_params(config)
     params = unflatten_params(template, state_dict)
     return config, params
+
+
+def abstract_params(config: VAEConfig) -> Dict[str, Any]:
+    """ShapeDtypeStruct params template for ``config`` via jax.eval_shape —
+    zero compute, zero transfers. The previous default ran a REAL model
+    init on device and fetched all 335 MB back to host just to read
+    shapes/dtypes, costing minutes of CLI startup through the tunneled
+    TPU."""
+    import jax.numpy as jnp
+
+    from .vae import AutoencoderKL
+
+    module = AutoencoderKL(config=config)
+    side = 4 * 2 ** (len(config.block_out_channels) - 1)
+    sample = jnp.zeros((1, side, side, config.in_channels), jnp.float32)
+
+    def init():
+        return module.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            sample,
+            sample_posterior=False,
+        )
+
+    return jax.eval_shape(init)["params"]
 
 
 def import_diffusers_state_dict(

@@ -163,10 +163,17 @@ class TapModule(nn.Module):
             init_fn=lambda: None,
         )
 
-    def tap(self, x: jax.Array, point: str) -> None:
-        for layer_name, pt, metrics in self._specs_for(point):
+    def _emit_specs(
+        self, specs: Tuple[CaptureSpec, ...], x: jax.Array
+    ) -> None:
+        """THE stat-emission path — shared by plain taps and the fused
+        resnet's materialized-tensor taps so their semantics cannot drift."""
+        for layer_name, pt, metrics in specs:
             for metric, value in channel_stats(x, tuple(metrics)).items():
                 self.sow_stat(f"{layer_name}.{pt}.{metric}", value)
+
+    def tap(self, x: jax.Array, point: str) -> None:
+        self._emit_specs(self._specs_for(point), x)
 
 
 class VConv(TapModule):
@@ -489,9 +496,7 @@ class ResnetBlock2D(TapModule):
         )
 
     def _tap_materialized(self, sub: str, point: str, x: jax.Array) -> None:
-        for layer_name, pt, metrics in self._sub_specs(sub, point):
-            for metric, value in channel_stats(x, tuple(metrics)).items():
-                self.sow_stat(f"{layer_name}.{pt}.{metric}", value)
+        self._emit_specs(self._sub_specs(sub, point), x)
 
     def _forward_fused(self, x: jax.Array) -> jax.Array:
         from ..ops.pallas_resnet import gn_silu_conv3x3

@@ -170,7 +170,12 @@ class SDXLVAEWrapper:
     ) -> Dict[str, Any]:
         """Encode -> sample/mode -> decode. NHWC input in [-1, 1]. No
         scaling_factor applied (training contract, sdxl_vae_wrapper.py:69-70).
-        """
+
+        Deliberate deviation from the reference: with ``rng=None`` the
+        posterior sample uses a FIXED key (PRNGKey(0)), so repeated calls
+        are bit-identical — reproducibility-first, where torch's
+        ``torch.randn`` draws fresh noise per call. Thread ``rng`` (as the
+        Trainer's step-keyed stream does) for fresh noise per call."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         fn = self._apply_fn(self._capture, sample_posterior)
@@ -186,14 +191,33 @@ class SDXLVAEWrapper:
     # Hook-style capture (sdxl_vae_wrapper.py:91-143 equivalents)
     def add_hooks(self, layer_names: List[str]) -> None:
         """Capture full activation maps at the named layers' outputs on
-        subsequent forwards. Names may carry or omit the ``vae.`` prefix."""
+        subsequent forwards. Names may carry or omit the ``vae.`` prefix.
+
+        Taps exist on parametric LEAF modules (convs, norms, dense); a
+        composite name (e.g. ``encoder.mid_block.attentions.0``) or a typo
+        captures nothing, so such names are warned about up front — the
+        reference warns likewise when no hook attaches
+        (sdxl_vae_wrapper.py:111-113)."""
         self.remove_hooks()
+        from ..utils.naming import iter_modules
+
+        known = {name for name, _ in iter_modules(self.params)}
+        stripped = [strip_vae_prefix(n) for n in layer_names]
+        unknown = [n for n in stripped if n not in known]
+        if unknown:
+            logger.warning(
+                "No capture taps for layer name(s) %s — taps exist on "
+                "parametric leaf modules only (e.g. "
+                "'encoder.mid_block.attentions.0.group_norm', not the "
+                "composite block). These names will capture nothing.",
+                unknown,
+            )
         self._capture = tuple(
-            (strip_vae_prefix(n), "output", ("full_activation_map",))
-            for n in layer_names
+            (n, "output", ("full_activation_map",)) for n in stripped
         )
-        if layer_names:
-            logger.info("Registered activation capture for: %s", layer_names)
+        registered = [n for n in stripped if n in known]
+        if registered:
+            logger.info("Registered activation capture for: %s", registered)
 
     def remove_hooks(self) -> None:
         self._capture = ()
@@ -201,9 +225,12 @@ class SDXLVAEWrapper:
 
     def _store_captured(self, stats: Dict[str, Any]) -> None:
         for key, value in stats.items():
-            # key format: <layer>.<point>.full_activation_map
+            # key format: <layer>.<point>.full_activation_map — strip the
+            # metric, then the capture point (layer names contain dots, so
+            # split from the right)
             if key.endswith(".full_activation_map"):
-                layer = key[: -len(".output.full_activation_map")]
+                rest = key[: -len(".full_activation_map")]
+                layer = rest.rsplit(".", 1)[0]
                 self._captured[layer] = np.asarray(jax.device_get(value))
 
     def get_captured_activations(self) -> Dict[str, np.ndarray]:
@@ -226,7 +253,10 @@ class SDXLVAEWrapper:
         ``deterministic=True`` takes the posterior mode instead of sampling
         (the inference analog of ``sample_posterior=False``). With tiling or
         slicing enabled the moments are computed tile-/sample-wise (diffusers
-        tiled_encode semantics: moments are blended, then split)."""
+        tiled_encode semantics: moments are blended, then split).
+        Like ``forward``, ``rng=None`` samples with a FIXED key (repeated
+        calls bit-identical — documented deviation); pass ``rng`` for fresh
+        noise."""
         key = ("encode", bool(deterministic)) + self._inference_key()
         if key not in self._jit_cache:
             module = self._module()

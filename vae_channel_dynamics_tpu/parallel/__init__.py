@@ -3,6 +3,5 @@ from .mesh import (
     initialize_distributed,
     make_mesh,
     replicated_sharding,
-    shard_batch,
 )
 from .zero import opt_state_shardings, state_shardings

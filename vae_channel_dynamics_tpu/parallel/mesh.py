@@ -80,7 +80,6 @@ def _order_devices_for_slices(devices, slices: int):
 
 def make_mesh(
     n_devices: Optional[int] = None,
-    axis_name: str = DATA_AXIS,
     spatial: int = 1,
     slices: int = 1,
 ) -> Mesh:
@@ -122,17 +121,17 @@ def make_mesh(
     if slices > 1:
         if spatial <= 1:
             grid = np.asarray(devices).reshape(slices, -1)
-            return Mesh(grid, (SLICE_AXIS, axis_name))
+            return Mesh(grid, (SLICE_AXIS, DATA_AXIS))
         grid = np.asarray(devices).reshape(slices, -1, spatial)
-        return Mesh(grid, (SLICE_AXIS, axis_name, SPATIAL_AXIS))
+        return Mesh(grid, (SLICE_AXIS, DATA_AXIS, SPATIAL_AXIS))
     if spatial <= 1:
-        return Mesh(np.asarray(devices), (axis_name,))
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
     if len(devices) % spatial != 0:
         raise ValueError(
             f"{len(devices)} devices not divisible by spatial={spatial}"
         )
     grid = np.asarray(devices).reshape(len(devices) // spatial, spatial)
-    return Mesh(grid, (axis_name, SPATIAL_AXIS))
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
 def _batch_axes(mesh: Mesh):
@@ -143,7 +142,7 @@ def _batch_axes(mesh: Mesh):
     return DATA_AXIS
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Image-batch sharding: batch over ``data`` (and ``slice`` when
     present), plus H over ``spatial`` when the mesh has a spatial axis
     (NHWC dim 1)."""
@@ -153,7 +152,7 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axes))
 
 
-def vector_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+def vector_sharding(mesh: Mesh) -> NamedSharding:
     """1-D per-sample vectors (masks, per-sample losses): batch over data."""
     return NamedSharding(mesh, P(_batch_axes(mesh)))
 
@@ -181,16 +180,6 @@ def make_global_array(local: np.ndarray, sharding: NamedSharding):
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)
     return jax.make_array_from_process_local_data(sharding, local)
-
-
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch onto the mesh, sharded along the batch axis.
-
-    The global batch size must divide the data-axis size; the trainer pads or
-    drops remainder batches before calling this.
-    """
-    sharding = batch_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
 def pad_batch_to_multiple(
