@@ -415,3 +415,69 @@ def test_prefetcher_propagates_source_errors():
     assert isinstance(ei.value.__cause__, OSError)
     assert len(got) == 1
     pf.close()
+
+
+def test_sharded_loader_length_and_drop_last():
+    """A sharded DataLoader's __len__ counts ITS shard's batches, and
+    drop_last drops the per-shard partial batch — counting the full dataset
+    made sharded loaders iterate num_shards x too many batches (trailing
+    ones collated to None) and leak partial batches past drop_last."""
+    from vae_channel_dynamics_tpu.data.pipeline import DataLoader
+    from vae_channel_dynamics_tpu.data.synthetic import SyntheticImageDataset
+
+    ds = SyntheticImageDataset(num_samples=101, resolution=8)
+    for shard in range(4):
+        loader = DataLoader(
+            ds, batch_size=8, shuffle=False, shard_index=shard,
+            num_shards=4, drop_last=True,
+        )
+        # shards 0-3 hold 26/25/25/25 items -> 3 full batches of 8 each
+        assert len(loader) == 3
+        batches = [b for b in loader.iter_batches() if b is not None]
+        assert len(batches) == 3
+        assert all(b["pixel_values"].shape[0] == 8 for b in batches)
+    # without drop_last the partial batch survives but nothing beyond it
+    loader = DataLoader(
+        ds, batch_size=8, shuffle=False, shard_index=0, num_shards=4,
+        drop_last=False,
+    )
+    assert len(loader) == 4
+    batches = [b for b in loader.iter_batches() if b is not None]
+    assert len(batches) == 4
+    assert batches[-1]["pixel_values"].shape[0] == 2  # 26 = 3*8 + 2
+
+
+def test_resize_matches_torchvision_truncation():
+    """Shorter-side resize computes the long side with int() truncation
+    (torchvision T.Resize semantics, the reference transform) — round()
+    shifts the center crop by 1px whenever the scaled long side has
+    fraction >= 0.5 (e.g. 499x333 -> 383, not 384)."""
+    from PIL import Image
+
+    from vae_channel_dynamics_tpu.data.pipeline import get_transform
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (333, 499, 3), np.uint8)
+    )
+    out = get_transform(256)(img)
+    assert out.shape == (256, 256, 3)
+    # oracle: exactly torchvision's arithmetic, then center crop
+    new_w = int(256 * 499 / 333)  # 383 (round() would give 384)
+    ref = img.resize((new_w, 256), Image.BILINEAR)
+    left = (new_w - 256) // 2
+    ref = ref.crop((left, 0, left + 256, 256))
+    ref_arr = (np.asarray(ref, np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_array_equal(out, ref_arr)
+
+
+def test_synthetic_split_seed_is_process_stable():
+    """Non-standard split names salt the seed with a STABLE hash (crc32),
+    not Python's per-process-salted hash() — multi-host runs must generate
+    identical content for the same split/index on every process."""
+    import zlib
+
+    from vae_channel_dynamics_tpu.data.synthetic import SyntheticImageDataset
+
+    ds = SyntheticImageDataset(num_samples=4, resolution=8, split="val")
+    expected = 0 + zlib.crc32(b"val") % 100003
+    assert ds.seed == expected

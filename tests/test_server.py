@@ -691,3 +691,43 @@ def test_resolve_serving_attention_impl_policy():
     tiny = VAEConfig.tiny()
     big = 8 * (2 ** (len(tiny.block_out_channels) - 1)) * 64
     assert resolve_serving_attention_impl("auto", big, tiny) == "auto"
+
+
+def test_sampling_requests_draw_fresh_noise(server):
+    """?deterministic=false must return a DIFFERENT posterior sample per
+    request — the wrapper's rng=None fallback is a fixed key, which made
+    every 'sample' bit-identical until the server threaded a fresh key."""
+    png = _png_bytes(seed=5)
+    status1, _, body1 = _post(server, "/encode?deterministic=false", png)
+    status2, _, body2 = _post(server, "/encode?deterministic=false", png)
+    assert status1 == status2 == 200
+    z1 = np.load(io.BytesIO(body1))
+    z2 = np.load(io.BytesIO(body2))
+    assert not np.array_equal(z1, z2), "identical 'samples' across requests"
+    # deterministic stays deterministic
+    _, _, d1 = _post(server, "/encode", png)
+    _, _, d2 = _post(server, "/encode", png)
+    np.testing.assert_array_equal(np.load(io.BytesIO(d1)), np.load(io.BytesIO(d2)))
+
+
+def test_decode_rejects_multi_latent_batch(server):
+    """POST /decode with a 4-D batch of >1 latents must 400 — silently
+    decoding z[0] dropped the rest of the batch while returning 200."""
+    png = _png_bytes(seed=6)
+    _, _, latents = _post(server, "/encode", png)
+    z = np.load(io.BytesIO(latents))
+    batch = np.stack([z, z])
+    buf = io.BytesIO()
+    np.save(buf, batch)
+    req = urllib.request.Request(
+        _url(server, "/decode"), data=buf.getvalue(), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400
+    assert b"ONE latent" in err.value.read()
+    # a singleton 4-D batch still decodes
+    buf = io.BytesIO()
+    np.save(buf, z[None])
+    status, _, _ = _post(server, "/decode", buf.getvalue())
+    assert status == 200

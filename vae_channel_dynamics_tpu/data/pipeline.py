@@ -121,9 +121,15 @@ def get_transform(resolution: int) -> Callable[[Any], np.ndarray]:
         w, h = img.size
         short = min(w, h)
         if short != resolution:
-            scale = resolution / short
-            new_w = max(resolution, int(round(w * scale)))
-            new_h = max(resolution, int(round(h * scale)))
+            # torchvision T.Resize semantics (the reference transform,
+            # data_utils.py:24-30): short side = resolution, long side
+            # TRUNCATED via int() — round() would differ by 1px for any
+            # aspect ratio whose scaled long side has fraction >= 0.5,
+            # shifting the center crop off the reference's pixels
+            if w <= h:
+                new_w, new_h = resolution, int(resolution * h / w)
+            else:
+                new_w, new_h = int(resolution * w / h), resolution
             img = img.resize((new_w, new_h), Image.BILINEAR)
         w, h = img.size
         left = (w - resolution) // 2
@@ -522,10 +528,22 @@ class DataLoader:
         except TypeError:
             return True
 
+    def _shard_len(self) -> int:
+        """Items THIS shard iterates: the strided slice of the epoch order
+        (see ``_order``), not the full dataset."""
+        n = len(self.dataset)
+        if self.num_shards > 1:
+            n = (n - self.shard_index + self.num_shards - 1) // self.num_shards
+        return n
+
     def __len__(self) -> int:
+        """Batches per epoch FOR THIS SHARD. Counting the full dataset here
+        would make a sharded loader iterate num_shards x too many batches:
+        the trailing ones collate empty (None) and the per-shard partial
+        batch escapes drop_last — an SPMD shape hazard on multi-host."""
         if self.is_iterable:
             raise TypeError("Iterable (streaming) dataset has no length")
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -58,9 +58,14 @@ class SyntheticImageDataset:
         self.num_samples = int(num_samples)
         self.resolution = int(resolution)
         self.channels = channels
-        # distinct content per split
+        # distinct content per split — salted via a STABLE hash: Python's
+        # hash() is PYTHONHASHSEED-salted per process, which would generate
+        # different data per host (and per rerun) for non-standard split
+        # names, breaking the every-worker-identical determinism guarantee
+        import zlib
+
         self.seed = seed + {"train": 0, "validation": 7919, "test": 104729}.get(
-            split, abs(hash(split)) % 100003
+            split, zlib.crc32(split.encode("utf-8")) % 100003
         )
 
     def __len__(self) -> int:

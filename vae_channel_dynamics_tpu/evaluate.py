@@ -302,6 +302,7 @@ def _eval_main(argv=None) -> int:
     samples_saved = 0
 
     logger.info("Starting evaluation on '%s' split...", args.eval_split)
+    ran_logit_lens = False
     for step, batch in enumerate(loader):
         if batch is None:
             continue
@@ -333,7 +334,14 @@ def _eval_main(argv=None) -> int:
                 )
                 samples_saved += 1
 
-        if step == 0 and args.enable_logit_lens and logit_lens is not None:
+        # first SURVIVING batch (a step-index gate would silently skip the
+        # lens for the whole run if batch 0 collated to None)
+        if (
+            not ran_logit_lens
+            and args.enable_logit_lens
+            and logit_lens is not None
+        ):
+            ran_logit_lens = True
             logger.info("Running LogitLens on first batch activations...")
             wrapper.add_hooks(args.logit_lens_layers)
             wrapper.forward(

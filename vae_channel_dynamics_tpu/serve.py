@@ -90,8 +90,20 @@ def main(argv=None) -> int:
     config, params = model_io.load_model_dir(vae_dir)
     from .server import resolve_serving_attention_impl
 
+    # decode mode: the mid-block token count comes from the LATENT
+    # geometry, not --resolution (which describes the encode-side resize) —
+    # resolving from the default 256 would leave a 128x128-latent decode
+    # (16384 tokens) on the slow non-flash path
+    effective_resolution = args.tile_size or args.resolution
+    decode_latents = None
+    if args.mode == "decode":
+        decode_latents = np.load(args.input)
+        if decode_latents.ndim == 3:
+            decode_latents = decode_latents[None]
+        factor = 2 ** (len(config.block_out_channels) - 1)
+        effective_resolution = int(decode_latents.shape[1]) * factor
     attn_impl = resolve_serving_attention_impl(
-        args.attention_impl, args.tile_size or args.resolution, config,
+        args.attention_impl, effective_resolution, config,
         logger=logger,
     )
     wrapper = SDXLVAEWrapper(
@@ -111,9 +123,7 @@ def main(argv=None) -> int:
     n_processed = 0
 
     if args.mode == "decode":
-        latents = np.load(args.input)
-        if latents.ndim == 3:
-            latents = latents[None]
+        latents = decode_latents
         for start in range(0, latents.shape[0], args.batch_size):
             chunk = jnp.asarray(latents[start : start + args.batch_size])
             imgs = np.asarray(jax.device_get(wrapper.decode(chunk)))
@@ -128,14 +138,25 @@ def main(argv=None) -> int:
             dataset, batch_size=args.batch_size, shuffle=False
         )
         mse_sum = 0.0
+        base_rng = jax.random.PRNGKey(0)
         for bi, batch in enumerate(loader):
             if batch is None:
                 continue
+            # fresh key per batch when sampling — the wrapper's rng=None
+            # fallback is a FIXED key, which would draw the identical noise
+            # tensor for every batch
+            rng = (
+                None if args.deterministic
+                else jax.random.fold_in(base_rng, bi)
+            )
             pixels = jnp.asarray(batch["pixel_values"])
             if args.mode == "encode":
                 z = np.asarray(
                     jax.device_get(
-                        wrapper.encode(pixels, deterministic=args.deterministic)
+                        wrapper.encode(
+                            pixels, rng=rng,
+                            deterministic=args.deterministic,
+                        )
                     ),
                     dtype=np.float32,
                 )
@@ -144,11 +165,15 @@ def main(argv=None) -> int:
             else:  # reconstruct
                 if tiled_reconstruct:
                     recon_dev = wrapper.decode(
-                        wrapper.encode(pixels, deterministic=args.deterministic)
+                        wrapper.encode(
+                            pixels, rng=rng,
+                            deterministic=args.deterministic,
+                        )
                     )
                 else:
                     recon_dev = wrapper.forward(
-                        pixels, sample_posterior=not args.deterministic
+                        pixels, sample_posterior=not args.deterministic,
+                        rng=rng,
                     )["reconstruction"]
                 recon = np.asarray(jax.device_get(recon_dev))
                 px = np.asarray(batch["pixel_values"])

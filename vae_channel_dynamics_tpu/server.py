@@ -168,14 +168,23 @@ class MicroBatcher:
         # returns when it sees None mid-collection): fail those waiters
         # instead of leaving them blocked. The lock above guarantees no new
         # item can land after this drain.
+        drained_sentinel = False
         while True:
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if item is not None:
+            if item is None:
+                drained_sentinel = True
+            else:
                 item.error = RuntimeError("batcher stopped")
                 item.event.set()
+        if drained_sentinel and self._thread.is_alive():
+            # the join timed out with the worker mid-batch (e.g. a ~30s+
+            # first-request compile) and the drain consumed its stop
+            # sentinel — re-put it, or the worker would finish its batch
+            # and park forever on queue.get(), pinning the model in memory
+            self._queue.put(None)
 
     # ------------------------------------------------------------------ #
     def _worker(self) -> None:
@@ -308,6 +317,7 @@ class VAEServer:
         self._inflight = 0
         self._latencies: List[float] = []
         self._lock = threading.Lock()
+        self._sample_calls = 0
 
         class _Server(ThreadingHTTPServer):
             # the stdlib default accept backlog of 5 drops connections the
@@ -406,6 +416,15 @@ class VAEServer:
         z = self.batcher.submit("encode", dummy)
         self.batcher.submit("decode", z)
         self.batcher.submit("reconstruct", dummy)
+        # the ?deterministic=false variants compile their own programs —
+        # without warming them the first sampling request stalls every
+        # endpoint behind a full compile inside the single batcher worker.
+        # Wrappers that reject sampling (exported artifacts) just skip.
+        try:
+            self.batcher.submit("encode@sample", dummy)
+            self.batcher.submit("reconstruct@sample", dummy)
+        except Exception as e:  # noqa: BLE001
+            logger.info("Sampling endpoints not warmed (%s)", e)
         logger.info("Warmup compiles done in %.1fs", time.time() - t0)
 
     # ------------------------------------------------------------------ #
@@ -428,8 +447,17 @@ class VAEServer:
             x = self._jax.device_put(padded, self._batch_sharding)
         else:
             x = jnp.asarray(padded)
+        rng = None
+        if not deterministic:
+            # fresh key per device call: the wrapper's rng=None fallback is
+            # a FIXED key, which would make every 'sampling' request return
+            # the bit-identical latent/reconstruction
+            with self._lock:
+                self._sample_calls += 1
+                seed = self._sample_calls
+            rng = self._jax.random.PRNGKey(seed)
         if op == "encode":
-            y = self.wrapper.encode(x, deterministic=deterministic)
+            y = self.wrapper.encode(x, rng=rng, deterministic=deterministic)
         elif op == "decode":
             y = self.wrapper.decode(x)
         elif op == "reconstruct":
@@ -441,11 +469,13 @@ class VAEServer:
                 # plus the inference [-1,1] clamp) so big images stay
                 # tile-bounded instead of tracing the untiled forward.
                 y = self.wrapper.decode(
-                    self.wrapper.encode(x, deterministic=deterministic)
+                    self.wrapper.encode(
+                        x, rng=rng, deterministic=deterministic
+                    )
                 )
             else:
                 y = self.wrapper.forward(
-                    x, sample_posterior=not deterministic
+                    x, sample_posterior=not deterministic, rng=rng
                 )["reconstruction"]
         else:
             raise ValueError(f"unknown op {op!r}")
@@ -624,6 +654,16 @@ class VAEServer:
                     elif op == "decode":
                         z = np.load(io.BytesIO(body))
                         if z.ndim == 4:
+                            if z.shape[0] != 1:
+                                # silently decoding z[0] would drop the
+                                # rest of the batch while returning 200
+                                raise ValueError(
+                                    f"/decode serves ONE latent per "
+                                    f"request (got a batch of "
+                                    f"{z.shape[0]}); send each latent "
+                                    "separately — the micro-batcher "
+                                    "coalesces concurrent requests"
+                                )
                             z = z[0]
                         if tuple(z.shape) != server.latent_shape:
                             # only the warmed-up latent shape is served —
@@ -778,11 +818,13 @@ def main(argv=None) -> int:
     )
     import signal
 
+    graceful_threads: list = []
+
     def _graceful(signum, _frame):
         logger.info("Signal %d: draining and shutting down.", signum)
-        threading.Thread(
-            target=server.graceful_shutdown, daemon=True
-        ).start()
+        t = threading.Thread(target=server.graceful_shutdown, daemon=True)
+        graceful_threads.append(t)
+        t.start()
 
     try:
         signal.signal(signal.SIGTERM, _graceful)
@@ -795,6 +837,13 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        # serve_forever returns the moment graceful_shutdown stops the
+        # accept loop — if main exited right away, interpreter teardown
+        # would kill the daemon drain/handler/batcher threads mid-response
+        # and clients would see resets instead of the drained answers the
+        # graceful path exists to deliver. Join the drain first.
+        for t in graceful_threads:
+            t.join(timeout=90.0)
         server.shutdown()
     return 0
 
