@@ -1,0 +1,116 @@
+"""Structural evidence for tensor parallelism: compiled-HLO collective
+census of the full train step under a data x tensor mesh vs the plain
+data mesh (the same methodology as the spatial-sharding census in
+PERF.md "Multi-chip scaling"; timing on the virtual CPU mesh is
+dispatch-bound and meaningless, structure is the transferable signal).
+
+The reference has no model-parallel axis (SURVEY.md §2b); this pins what
+GSPMD actually compiles when parallel.tensor shards the channel axes:
+how many all-gathers / reduce-scatters / all-reduces / collective-permutes
+the conv chain pays per step, and that the losses stay identical to the
+replicated oracle.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python experiments/tensor_parallel_census.py
+"""
+
+import collections
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+)
+
+from vae_channel_dynamics_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: E402
+from vae_channel_dynamics_tpu.parallel import make_mesh  # noqa: E402
+from vae_channel_dynamics_tpu.parallel.mesh import replicated_sharding  # noqa: E402
+from vae_channel_dynamics_tpu.parallel.zero import state_shardings  # noqa: E402
+from vae_channel_dynamics_tpu.training import (  # noqa: E402
+    TrainState,
+    build_optimizer,
+    make_train_step,
+)
+
+COLLECTIVES = (
+    "all-gather",
+    "all-reduce",
+    "reduce-scatter",
+    "collective-permute",
+    "all-to-all",
+)
+
+
+def census(compiled) -> dict:
+    hlo = compiled.as_text()
+    counts = collections.Counter()
+    for op in COLLECTIVES:
+        counts[op] = len(re.findall(rf"{op}(?:-start)?\(", hlo))
+    return dict(counts)
+
+
+def main():
+    cfg = VAEConfig.tiny()
+    module = AutoencoderKL(config=cfg)
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)),
+        sample_posterior=False,
+    )["params"]
+    rng = np.random.default_rng(0)
+    results = {}
+    losses = {}
+    for tag, mesh_kwargs, sharded, batch_n in (
+        ("dp4", dict(n_devices=4), False, 8),
+        ("dp4xtp2", dict(n_devices=8, tensor=2), True, 8),
+        ("dp4xtp2+zero1", dict(n_devices=8, tensor=2), "zero", 8),
+    ):
+        mesh = make_mesh(**mesh_kwargs)
+        tx, _ = build_optimizer(1e-4, warmup_steps=1, max_train_steps=10)
+        state = TrainState.create(params, tx, stats_acc={})
+        sharding = (
+            state_shardings(
+                mesh, state, shard_optimizer=(sharded == "zero")
+            )
+            if sharded
+            else None
+        )
+        state = jax.device_put(
+            state, sharding if sharding is not None else replicated_sharding(mesh)
+        )
+        step = make_train_step(
+            module, tx, 1e-6, mesh=mesh, donate=False, state_sharding=sharding
+        )
+        batch = {
+            "pixel_values": rng.uniform(-1, 1, (batch_n, 32, 32, 3)).astype(
+                np.float32
+            )
+        }
+        mask = np.ones(batch_n, np.float32)
+        lowered = step.lower(state, batch, mask, jax.random.PRNGKey(1))
+        compiled = lowered.compile()
+        results[tag] = census(compiled)
+        _, metrics, _ = step(state, batch, mask, jax.random.PRNGKey(1))
+        losses[tag] = float(metrics["train_loss_step"])
+        print(f"{tag}: {results[tag]}  loss={losses[tag]:.6f}", flush=True)
+
+    assert abs(losses["dp4"] - losses["dp4xtp2"]) <= 1e-5 * max(
+        1.0, abs(losses["dp4"])
+    ), losses
+    print("losses identical across dp4 / dp4xtp2:", losses)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,4 +4,4 @@ from .mesh import (
     make_mesh,
     replicated_sharding,
 )
-from .zero import opt_state_shardings, state_shardings
+from .zero import opt_state_shardings, state_shardings, tensor_shardings

@@ -25,6 +25,7 @@ logger = logging.getLogger(__name__)
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 SLICE_AXIS = "slice"
+TENSOR_AXIS = "tensor"
 
 
 def initialize_distributed() -> None:
@@ -82,6 +83,7 @@ def make_mesh(
     n_devices: Optional[int] = None,
     spatial: int = 1,
     slices: int = 1,
+    tensor: int = 1,
 ) -> Mesh:
     """Device mesh over the first ``n_devices`` devices.
 
@@ -99,7 +101,16 @@ def make_mesh(
     axis is OUTERMOST in the mesh layout and XLA's gradient all-reduce
     decomposes hierarchically: reduce-scatter/all-gather over ICI within
     each slice, and only the per-slice partial crosses DCN once — the
-    scaling-book recipe for collectives that ride ICI, not DCN."""
+    scaling-book recipe for collectives that ride ICI, not DCN.
+
+    ``tensor>1`` adds an INNERMOST ``tensor`` axis for tensor (channel)
+    parallelism: parameters shard their channel dimensions over it (see
+    parallel/zero.py ``state_shardings``) and GSPMD derives the activation
+    gathers/partial-sum reductions at each conv. Innermost = the shards are
+    ICI nearest-neighbours, where the per-layer collectives are cheapest.
+    The reference has no model-parallel axis at all (SURVEY.md §2b: DP
+    only); this axis exists for HBM relief beyond what ZeRO-3 + spatial
+    sharding give — see SCALING.md for when each axis pays."""
     devices = jax.devices()
     if n_devices is not None:
         if n_devices > len(devices):
@@ -107,31 +118,29 @@ def make_mesh(
                 f"Requested {n_devices} devices, have {len(devices)}"
             )
         devices = devices[:n_devices]
-    if slices > 1:
-        if len(devices) % slices != 0:
-            raise ValueError(
-                f"{len(devices)} devices not divisible by slices={slices}"
-            )
-        devices = _order_devices_for_slices(devices, slices)
-    if spatial > 1 and len(devices) % (spatial * slices) != 0:
+    for name, k in (("slices", slices), ("spatial", spatial), ("tensor", tensor)):
+        if k < 1:
+            raise ValueError(f"parallel.{name} must be >= 1, got {k}")
+    if len(devices) % (spatial * slices * tensor) != 0:
         raise ValueError(
             f"{len(devices)} devices not divisible by "
-            f"spatial={spatial} x slices={slices}"
+            f"slices={slices} x spatial={spatial} x tensor={tensor}"
         )
     if slices > 1:
-        if spatial <= 1:
-            grid = np.asarray(devices).reshape(slices, -1)
-            return Mesh(grid, (SLICE_AXIS, DATA_AXIS))
-        grid = np.asarray(devices).reshape(slices, -1, spatial)
-        return Mesh(grid, (SLICE_AXIS, DATA_AXIS, SPATIAL_AXIS))
-    if spatial <= 1:
-        return Mesh(np.asarray(devices), (DATA_AXIS,))
-    if len(devices) % spatial != 0:
-        raise ValueError(
-            f"{len(devices)} devices not divisible by spatial={spatial}"
-        )
-    grid = np.asarray(devices).reshape(len(devices) // spatial, spatial)
-    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+        devices = _order_devices_for_slices(devices, slices)
+    # axis order (outer → inner): slice (DCN), data, spatial, tensor (ICI
+    # nearest-neighbour); trivial axes are dropped so existing 1-D/2-D/3-D
+    # mesh layouts (and their jit caches / tests) are byte-identical
+    data = len(devices) // (slices * spatial * tensor)
+    shape = [slices, data, spatial, tensor]
+    names = [SLICE_AXIS, DATA_AXIS, SPATIAL_AXIS, TENSOR_AXIS]
+    keep = [
+        i
+        for i, (nm, sz) in enumerate(zip(names, shape))
+        if nm == DATA_AXIS or sz > 1
+    ]
+    grid = np.asarray(devices).reshape([shape[i] for i in keep])
+    return Mesh(grid, tuple(names[i] for i in keep))
 
 
 def _batch_axes(mesh: Mesh):

@@ -29,7 +29,10 @@ size (conv kernels shard over their channel axes, biases/γ/β over their
 only axis); leaves with no divisible dimension — scalars like the Adam
 ``count`` — stay replicated. The ``slice`` (DCN) and ``spatial`` mesh axes
 never shard parameters: optimizer shards must stay within one ICI domain
-or the per-step param all-gather would cross DCN.
+or the per-step param all-gather would cross DCN. A ``tensor`` axis
+(``parallel.tensor`` — tensor/channel parallelism) DOES shard parameters:
+params, moments and EMA take their channel axis over it unconditionally,
+and the ZeRO flags compose by sharding a remaining axis over ``data``.
 
 Multi-host: sharded leaves are not fully addressable, so main-process
 checkpointing cannot ``jax.device_get`` them directly. ``make_gather_fn``
@@ -47,21 +50,27 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, replicated_sharding
+from .mesh import DATA_AXIS, TENSOR_AXIS, replicated_sharding
+
+
+def _best_axis(shape, size: int, taken=()) -> int | None:
+    """Largest axis divisible by ``size`` (ties prefer the LAST such axis:
+    conv kernels are HWIO, so equal I/O sizes shard the output-channel
+    axis, keeping the layout aligned with the parameter's contiguous minor
+    dimension); ``taken`` axes are excluded. None if no axis qualifies."""
+    best = None
+    for i, d in enumerate(shape):
+        if i in taken:
+            continue
+        if d >= size and d % size == 0:
+            if best is None or d >= shape[best]:
+                best = i
+    return best
 
 
 def _leaf_spec(shape, data_size: int) -> P:
-    """Shard the largest axis divisible by ``data_size``; replicate if none.
-
-    Ties prefer the LAST such axis: conv kernels are HWIO, so equal I/O
-    sizes shard the output-channel axis, keeping the moment layout aligned
-    with the all-gathered parameter's contiguous minor dimension.
-    """
-    best = None
-    for i, d in enumerate(shape):
-        if d >= data_size and d % data_size == 0:
-            if best is None or d >= shape[best]:
-                best = i
+    """Shard the largest axis divisible by ``data_size``; replicate if none."""
+    best = _best_axis(shape, data_size)
     if best is None:
         return P()
     spec = [None] * len(shape)
@@ -69,14 +78,53 @@ def _leaf_spec(shape, data_size: int) -> P:
     return P(*spec)
 
 
+def _tensor_size(mesh: Mesh) -> int:
+    return int(mesh.shape.get(TENSOR_AXIS, 1))
+
+
+def _combined_spec(shape, mesh: Mesh, use_data: bool) -> P:
+    """Per-leaf spec composing tensor parallelism with ZeRO data sharding.
+
+    When the mesh has a non-trivial ``tensor`` axis, the leaf's best channel
+    axis shards over it (conv HWIO kernels take O, or I when O doesn't
+    divide — e.g. conv_out's O=3; γ/β/bias vectors take their only axis).
+    When ``use_data`` (the ZeRO flags), the largest REMAINING divisible axis
+    additionally shards over ``data``. Leaves with no qualifying axis stay
+    replicated on that mesh axis."""
+    tensor = _tensor_size(mesh)
+    spec = [None] * len(shape)
+    taken = ()
+    if tensor > 1:
+        i = _best_axis(shape, tensor)
+        if i is not None:
+            spec[i] = TENSOR_AXIS
+            taken = (i,)
+    if use_data:
+        j = _best_axis(shape, int(mesh.shape[DATA_AXIS]), taken)
+        if j is not None:
+            spec[j] = DATA_AXIS
+    return P(*spec)
+
+
 def opt_state_shardings(mesh: Mesh, opt_state: Any) -> Any:
-    """Per-leaf NamedShardings for an optimizer-state pytree."""
-    data_size = int(mesh.shape[DATA_AXIS])
+    """Per-leaf NamedShardings for an optimizer-state pytree (data-axis
+    ZeRO sharding, composed with the tensor axis when the mesh has one)."""
 
     def leaf(x):
-        return NamedSharding(mesh, _leaf_spec(x.shape, data_size))
+        return NamedSharding(mesh, _combined_spec(x.shape, mesh, True))
 
     return jax.tree.map(leaf, opt_state)
+
+
+def tensor_shardings(mesh: Mesh, tree: Any) -> Any:
+    """Per-leaf NamedShardings for tensor (channel) parallelism only: the
+    best channel axis of each leaf shards over the mesh's ``tensor`` axis,
+    nothing shards over ``data`` (params under TP without ZeRO-3)."""
+
+    def leaf(x):
+        return NamedSharding(mesh, _combined_spec(x.shape, mesh, False))
+
+    return jax.tree.map(leaf, tree)
 
 
 def state_shardings(
@@ -97,20 +145,35 @@ def state_shardings(
     blend is purely elementwise (``e*d + p*(1-d)``), so with EMA sharded
     and params replicated XLA just reads each device's local slice of the
     params — zero extra collectives in the step; the all-gather happens
-    once, at checkpoint/export time via ``jax.device_get``."""
+    once, at checkpoint/export time via ``jax.device_get``.
+
+    Tensor parallelism composes automatically: when the mesh carries a
+    non-trivial ``tensor`` axis (``parallel.tensor`` > 1), params, moments
+    AND the EMA copy always shard their channel axis over it — the moments
+    live elementwise with the params, so a TP layout where they disagreed
+    would force XLA to gather grads and keep full moments everywhere. The
+    ZeRO flags then shard a REMAINING axis over ``data`` on top
+    (``_combined_spec``)."""
     repl = replicated_sharding(mesh)
+    tensor = _tensor_size(mesh) > 1
+
+    def leaf_shardings(tree, use_data):
+        if use_data:
+            return opt_state_shardings(mesh, tree)
+        return tensor_shardings(mesh, tree)
+
     shardings = jax.tree.map(lambda _: repl, state)
-    if shard_optimizer:
+    if shard_optimizer or tensor:
         shardings = shardings.replace(
-            opt_state=opt_state_shardings(mesh, state.opt_state)
+            opt_state=leaf_shardings(state.opt_state, shard_optimizer)
         )
-    if shard_ema and state.ema_params is not None:
+    if (shard_ema or tensor) and state.ema_params is not None:
         shardings = shardings.replace(
-            ema_params=opt_state_shardings(mesh, state.ema_params)
+            ema_params=leaf_shardings(state.ema_params, shard_ema)
         )
-    if shard_params:
+    if shard_params or tensor:
         shardings = shardings.replace(
-            params=opt_state_shardings(mesh, state.params)
+            params=leaf_shardings(state.params, shard_params)
         )
     return shardings
 

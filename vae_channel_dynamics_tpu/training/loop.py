@@ -176,7 +176,12 @@ class Trainer:
         # batch shards over (slice, data) jointly and gradient all-reduces
         # decompose hierarchically (ICI within a slice, DCN once per slice).
         slices = as_int(parallel_config.get("slices"), 1)
-        mesh = make_mesh(spatial=spatial, slices=slices)
+        # parallel.tensor [new]: tensor (channel) parallelism — parameters
+        # shard their channel axes over an innermost ICI axis; GSPMD derives
+        # the per-conv activation gathers. An HBM-relief axis beyond
+        # ZeRO-3 + spatial (see SCALING.md for when each axis pays).
+        tensor = as_int(parallel_config.get("tensor"), 1)
+        mesh = make_mesh(spatial=spatial, slices=slices, tensor=tensor)
         from ..parallel.mesh import data_axis_size
 
         n_shards = data_axis_size(mesh)
@@ -461,7 +466,8 @@ class Trainer:
         gather_for_save = None
         replicate_leaf = None
         params_sharding = None
-        if shard_opt or shard_ema or shard_par:
+        params_sharded = shard_par or tensor > 1
+        if shard_opt or shard_ema or params_sharded:
             from ..parallel.zero import (
                 make_gather_fn,
                 make_replicate_leaf_fn,
@@ -472,7 +478,7 @@ class Trainer:
                 mesh, state, shard_optimizer=shard_opt, shard_ema=shard_ema,
                 shard_params=shard_par,
             )
-            if shard_par:
+            if params_sharded:
                 params_sharding = state_sharding.params
             if jax.process_count() > 1:
                 # multi-host: sharded leaves are not fully addressable, so
@@ -481,7 +487,7 @@ class Trainer:
                 # each save site below calls _for_save outside any is_main
                 # gate for exactly this reason
                 gather_for_save = make_gather_fn(mesh, state)
-                if shard_par:
+                if params_sharded:
                     # ditto for the nudger's γ fetch and the dead tracker's
                     # raw-weight snapshots: both call sites run un-gated on
                     # every process, so the gather is safe there
@@ -500,6 +506,11 @@ class Trainer:
                 logger.info(
                     "parallel.shard_params: parameter buffers sharded over "
                     "the %d-way data axis (ZeRO-3).", n_shards,
+                )
+            if tensor > 1:
+                logger.info(
+                    "parallel.tensor: params/moments/EMA channel axes "
+                    "sharded over the %d-way tensor axis.", tensor,
                 )
         else:
             state_sharding = None
