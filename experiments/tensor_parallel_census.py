@@ -70,12 +70,21 @@ def main():
         sample_posterior=False,
     )["params"]
     rng = np.random.default_rng(0)
+    # one batch for every variant — the loss-equality check below is only
+    # meaningful when all three layouts see identical data
+    batch_n = 8
+    batch = {
+        "pixel_values": rng.uniform(-1, 1, (batch_n, 32, 32, 3)).astype(
+            np.float32
+        )
+    }
+    mask = np.ones(batch_n, np.float32)
     results = {}
     losses = {}
-    for tag, mesh_kwargs, sharded, batch_n in (
-        ("dp4", dict(n_devices=4), False, 8),
-        ("dp4xtp2", dict(n_devices=8, tensor=2), True, 8),
-        ("dp4xtp2+zero1", dict(n_devices=8, tensor=2), "zero", 8),
+    for tag, mesh_kwargs, sharded in (
+        ("dp4", dict(n_devices=4), False),
+        ("dp4xtp2", dict(n_devices=8, tensor=2), True),
+        ("dp4xtp2+zero1", dict(n_devices=8, tensor=2), "zero"),
     ):
         mesh = make_mesh(**mesh_kwargs)
         tx, _ = build_optimizer(1e-4, warmup_steps=1, max_train_steps=10)
@@ -93,12 +102,6 @@ def main():
         step = make_train_step(
             module, tx, 1e-6, mesh=mesh, donate=False, state_sharding=sharding
         )
-        batch = {
-            "pixel_values": rng.uniform(-1, 1, (batch_n, 32, 32, 3)).astype(
-                np.float32
-            )
-        }
-        mask = np.ones(batch_n, np.float32)
         lowered = step.lower(state, batch, mask, jax.random.PRNGKey(1))
         compiled = lowered.compile()
         results[tag] = census(compiled)
