@@ -75,6 +75,15 @@ def test_combined_spec_composes_tensor_and_data():
     assert _combined_spec((3, 3, 16, 3), mesh, False) == P(
         None, None, TENSOR_AXIS, None
     )
+    # down-projection convs (I > O, e.g. the decoder's 512→256): the
+    # tensor axis is a semantic contract (O = contiguous minor dim), not a
+    # balance heuristic — O still takes tensor even though I is larger
+    assert _combined_spec((3, 3, 64, 32), mesh, False) == P(
+        None, None, None, TENSOR_AXIS
+    )
+    assert _combined_spec((3, 3, 64, 32), mesh, True) == P(
+        None, None, DATA_AXIS, TENSOR_AXIS
+    )
     # γ/β/bias vectors: the only axis goes to tensor; data finds no
     # remaining axis and stays unsharded
     assert _combined_spec((32,), mesh, False) == P(TENSOR_AXIS)
@@ -191,6 +200,47 @@ def test_tp_composes_with_zero1():
     batch, mask = _batch(8, seed=5)
     state, met, _ = step(state, batch, mask, jax.random.PRNGKey(11))
     assert np.isfinite(float(met["train_loss_step"]))
+
+
+def test_tp_ema_follows_param_layout():
+    """training.ema_decay on a tensor mesh: the EMA copy shards exactly
+    like the params (state_shardings tensor-shards it even with
+    shard_ema=False — a layout mismatch in the elementwise blend would
+    force XLA to gather either side), the step's blend keeps it
+    distributed, and the values match the host-computed
+    d*ema + (1-d)*params_new blend."""
+    mesh = make_mesh(8, tensor=2)
+    _, state, step = _setup(mesh, sharded=True, ema_decay=0.9)
+    assert state.ema_params is not None
+    for p, e in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(state.ema_params)
+    ):
+        assert p.sharding == e.sharding, (p.shape, p.sharding, e.sharding)
+    assert any(
+        not e.sharding.is_fully_replicated
+        for e in jax.tree.leaves(state.ema_params)
+    )
+    ema_pre = jax.device_get(state.ema_params)
+    batch, mask = _batch(8, seed=21)
+    state, met, _ = step(state, batch, mask, jax.random.PRNGKey(3))
+    assert np.isfinite(float(met["train_loss_step"]))
+    params_post = jax.device_get(state.params)
+    for e_new, e_old, p_new in zip(
+        jax.tree.leaves(jax.device_get(state.ema_params)),
+        jax.tree.leaves(ema_pre),
+        jax.tree.leaves(params_post),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(e_new),
+            0.9 * np.asarray(e_old) + 0.1 * np.asarray(p_new),
+            rtol=1e-5,
+            atol=1e-7,
+        )
+    # the blend's out_shardings keep the updated EMA distributed
+    assert any(
+        not e.sharding.is_fully_replicated
+        for e in jax.tree.leaves(state.ema_params)
+    )
 
 
 def test_tp_eval_step_accepts_sharded_params():

@@ -57,7 +57,10 @@ def _best_axis(shape, size: int, taken=()) -> int | None:
     """Largest axis divisible by ``size`` (ties prefer the LAST such axis:
     conv kernels are HWIO, so equal I/O sizes shard the output-channel
     axis, keeping the layout aligned with the parameter's contiguous minor
-    dimension); ``taken`` axes are excluded. None if no axis qualifies."""
+    dimension); ``taken`` axes are excluded. None if no axis qualifies.
+
+    This is the ZeRO (data-axis) choice: the sharding is pure memory
+    relief, so the biggest axis gives the best balance."""
     best = None
     for i, d in enumerate(shape):
         if i in taken:
@@ -66,6 +69,23 @@ def _best_axis(shape, size: int, taken=()) -> int | None:
             if best is None or d >= shape[best]:
                 best = i
     return best
+
+
+def _channel_axis(shape, size: int) -> int | None:
+    """The LAST axis divisible by ``size``; None if no axis qualifies.
+
+    This is the tensor-parallel choice, and unlike ``_best_axis`` it is a
+    semantic contract rather than a balance heuristic: conv HWIO kernels
+    take O (the contiguous minor dim, so each shard is one block of output
+    channels), falling back to I when O doesn't divide (e.g. conv_out's
+    O=3); γ/β/bias vectors take their only axis. 'Largest' would instead
+    put down-projection convs (I > O, e.g. the decoder's 512→256) on the
+    input-channel axis — the opposite layout from the documented one."""
+    for i in range(len(shape) - 1, -1, -1):
+        d = shape[i]
+        if d >= size and d % size == 0:
+            return i
+    return None
 
 
 def _leaf_spec(shape, data_size: int) -> P:
@@ -85,17 +105,17 @@ def _tensor_size(mesh: Mesh) -> int:
 def _combined_spec(shape, mesh: Mesh, use_data: bool) -> P:
     """Per-leaf spec composing tensor parallelism with ZeRO data sharding.
 
-    When the mesh has a non-trivial ``tensor`` axis, the leaf's best channel
-    axis shards over it (conv HWIO kernels take O, or I when O doesn't
-    divide — e.g. conv_out's O=3; γ/β/bias vectors take their only axis).
-    When ``use_data`` (the ZeRO flags), the largest REMAINING divisible axis
-    additionally shards over ``data``. Leaves with no qualifying axis stay
-    replicated on that mesh axis."""
+    When the mesh has a non-trivial ``tensor`` axis, the leaf's channel
+    axis shards over it (``_channel_axis``: conv HWIO kernels take O, or I
+    when O doesn't divide — e.g. conv_out's O=3; γ/β/bias vectors take
+    their only axis). When ``use_data`` (the ZeRO flags), the largest
+    REMAINING divisible axis additionally shards over ``data``. Leaves
+    with no qualifying axis stay replicated on that mesh axis."""
     tensor = _tensor_size(mesh)
     spec = [None] * len(shape)
     taken = ()
     if tensor > 1:
-        i = _best_axis(shape, tensor)
+        i = _channel_axis(shape, tensor)
         if i is not None:
             spec[i] = TENSOR_AXIS
             taken = (i,)
@@ -103,6 +123,8 @@ def _combined_spec(shape, mesh: Mesh, use_data: bool) -> P:
         j = _best_axis(shape, int(mesh.shape[DATA_AXIS]), taken)
         if j is not None:
             spec[j] = DATA_AXIS
+    if all(s is None for s in spec):
+        return P()
     return P(*spec)
 
 
