@@ -66,11 +66,12 @@ BASELINE_IMAGES_PER_SEC = 3000.0
 
 def parse_remat_env(value: str):
     """THE BENCH_REMAT convention, shared with experiments/*: 0/none →
-    no remat, 1/full → block remat, conv → save conv outputs; anything
-    else falls back to no remat (never crashes mid-bench)."""
+    no remat, 1/full → block remat, conv → save conv outputs, offload →
+    conv's saved set offloaded to pinned_host; anything else falls back
+    to no remat (never crashes mid-bench)."""
     return {
         "0": False, "none": False, "1": "full", "full": "full",
-        "conv": "conv",
+        "conv": "conv", "offload": "offload",
     }.get(value, False)
 
 

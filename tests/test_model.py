@@ -200,13 +200,14 @@ def test_hook_style_capture(tiny_wrapper):
     assert tiny_wrapper.get_captured_activations() == {}
 
 
-@pytest.mark.parametrize("mode", ["full", "conv"])
+@pytest.mark.parametrize("mode", ["full", "conv", "offload"])
 def test_remat_grad_parity(tiny_wrapper, mode):
     """Rematerialization modes are numerically invisible: loss and every
     gradient match the no-remat graph exactly. ``full`` = classic block remat
     (save block inputs only); ``conv`` = save conv outputs, recompute only
     the elementwise GroupNorm+SiLU chains in backward (the cheap
-    memory/compute point for conv nets)."""
+    memory/compute point for conv nets); ``offload`` = conv's saved set
+    moved to pinned_host memory, fetched back in the backward."""
     cfg = VAEConfig.tiny()
     params = tiny_wrapper.params
     x = jnp.asarray(

@@ -354,6 +354,16 @@ def _resnet_remat_cls(remat: Any) -> Any:
       convs are the expensive thing and elementwise recompute rides HBM
       bandwidth already paid for in the backward pass.
 
+    - ``"offload"``: ``"conv"``'s saved set, moved off-chip. Conv outputs
+      are offloaded to ``pinned_host`` memory at forward time and fetched
+      back in the backward (``save_and_offload_only_these_names``), so HBM
+      holds only the block inputs — the ``"full"`` footprint — while the
+      backward pays PCIe transfers instead of conv recompute. Whether that
+      trade wins is bandwidth-vs-MXU arithmetic per shape (a 3x3 conv
+      re-runs at ~K²·C FLOPs/byte of saved output, so big-spatial/low-
+      channel blocks favor recompute and deep high-channel blocks favor
+      the fetch) — measured numbers in PERF.md.
+
     With ``impl="fused"`` the Pallas path never materializes the norm/act
     intermediates in the first place, so ``"conv"`` degenerates to saving the
     fused op's outputs (same behavior, nothing extra to drop).
@@ -367,8 +377,19 @@ def _resnet_remat_cls(remat: Any) -> Any:
             ResnetBlock2D,
             policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
         )
+    if remat == "offload":
+        return nn.remat(
+            ResnetBlock2D,
+            policy=jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=["conv_out"],
+                offload_src="device",
+                offload_dst="pinned_host",
+            ),
+        )
     raise ValueError(
-        f"remat must be one of False/'none'/True/'full'/'conv', got {remat!r}"
+        "remat must be one of False/'none'/True/'full'/'conv'/'offload', "
+        f"got {remat!r}"
     )
 
 
