@@ -371,6 +371,9 @@ class Trainer:
             # training.optimizer [new]: adamw (reference parity) | adafactor
             # (factored moments — ~2x less optimizer-state HBM)
             optimizer=str(tc.get("optimizer", "adamw")).lower(),
+            # Honored (reference reads-and-ignores it, quirk §5a-1; every
+            # shipped reference YAML says linear so behavior is unchanged)
+            lr_scheduler_type=str(tc.get("lr_scheduler_type", "linear")),
         )
 
         # ---------------- instrumentation ---------------- #

@@ -17,6 +17,7 @@ both divided by the global sample count on the host side.
 
 from __future__ import annotations
 
+import logging
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -28,6 +29,8 @@ from ..ops.stats import tap_mask
 from ..parallel.mesh import batch_sharding, replicated_sharding, vector_sharding
 from .state import TrainState
 
+logger = logging.getLogger(__name__)
+
 
 def linear_warmup_decay_schedule(
     base_lr: float, warmup_steps: int, max_train_steps: int
@@ -35,7 +38,7 @@ def linear_warmup_decay_schedule(
     """Linear warmup then linear decay to zero — the reference's LambdaLR
     (src/train.py:197-202). Note: the reference reads ``lr_scheduler_type``
     into config but always uses this schedule (quirk SURVEY.md §5a-1);
-    fidelity is preserved here."""
+    this remains the default via :func:`make_lr_schedule`."""
 
     def schedule(count):
         count = jnp.asarray(count, jnp.float32)
@@ -49,6 +52,68 @@ def linear_warmup_decay_schedule(
     return schedule
 
 
+def make_lr_schedule(
+    lr_scheduler_type: str,
+    base_lr: float,
+    warmup_steps: int,
+    max_train_steps: int,
+) -> Callable[[jax.Array], jax.Array]:
+    """Resolve ``training.lr_scheduler_type`` to a schedule.
+
+    The reference reads this key into config but ALWAYS runs the linear
+    LambdaLR (quirk SURVEY.md §5a-1: src/train.py:197-202 vs the key's own
+    comment at configs/base_config.yaml:36, which advertises "linear",
+    "cosine", "constant"). Deliberate deviation [documented]: we honor the
+    advertised values — behavior-identical for every shipped reference
+    YAML (all set "linear" or omit the key), but a user asking for cosine
+    actually gets cosine instead of a silent linear. Conventions follow HF
+    diffusers ``get_scheduler`` (the library the reference's comment
+    refers to): ``cosine`` = linear warmup then half-cosine decay to zero;
+    ``constant`` = flat base_lr, no warmup; ``constant_with_warmup`` =
+    linear warmup then flat. Unknown names warn once and fall back to
+    linear (the reference's effective behavior), never crash a run.
+    """
+    name = (lr_scheduler_type or "linear").strip().lower()
+    if name == "linear":
+        return linear_warmup_decay_schedule(
+            base_lr, warmup_steps, max_train_steps
+        )
+    if name == "constant":
+
+        def constant(count):
+            return jnp.full((), base_lr, jnp.float32)
+
+        return constant
+    if name == "constant_with_warmup":
+
+        def constant_warmup(count):
+            count = jnp.asarray(count, jnp.float32)
+            warm = count / jnp.maximum(1.0, float(warmup_steps))
+            return base_lr * jnp.minimum(1.0, warm)
+
+        return constant_warmup
+    if name == "cosine":
+
+        def cosine(count):
+            count = jnp.asarray(count, jnp.float32)
+            warm = count / jnp.maximum(1.0, float(warmup_steps))
+            progress = (count - warmup_steps) / jnp.maximum(
+                1.0, float(max_train_steps - warmup_steps)
+            )
+            progress = jnp.clip(progress, 0.0, 1.0)
+            decay = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+            return base_lr * jnp.where(count < warmup_steps, warm, decay)
+
+        return cosine
+    logger.warning(
+        "Unknown training.lr_scheduler_type %r — falling back to the "
+        "linear warmup/decay schedule (the reference's behavior for every "
+        "value of this key, src/train.py:197-202)",
+        lr_scheduler_type,
+    )
+    return linear_warmup_decay_schedule(base_lr, warmup_steps, max_train_steps)
+
+
 def build_optimizer(
     learning_rate: float,
     warmup_steps: int,
@@ -60,6 +125,7 @@ def build_optimizer(
     max_grad_norm: float = 1.0,
     gradient_accumulation_steps: int = 1,
     optimizer: str = "adamw",
+    lr_scheduler_type: str = "linear",
 ) -> Tuple[optax.GradientTransformation, Callable]:
     """Optimizer + global-norm clipping + linear warmup/decay, with optional
     gradient accumulation (optax.MultiSteps replaces the reference's
@@ -73,9 +139,13 @@ def build_optimizer(
     parallel.shard_optimizer, which shards whatever state the optimizer
     keeps). Momentum stays off (adafactor's default) so the memory saving
     is real; ``adam_weight_decay`` maps to adafactor's decoupled
-    ``weight_decay_rate`` and the Adam betas/eps are ignored."""
-    schedule = linear_warmup_decay_schedule(
-        learning_rate, warmup_steps, max_train_steps
+    ``weight_decay_rate`` and the Adam betas/eps are ignored.
+
+    ``lr_scheduler_type`` honors the reference's advertised-but-ignored
+    config key (see :func:`make_lr_schedule`); default ``linear`` is the
+    reference's actual schedule."""
+    schedule = make_lr_schedule(
+        lr_scheduler_type, learning_rate, warmup_steps, max_train_steps
     )
     components = []
     if max_grad_norm and max_grad_norm > 0:
