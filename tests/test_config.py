@@ -130,7 +130,7 @@ def test_known_keys_cover_documented_extensions():
         "training": {"ema_decay": 0.999, "abort_on_nonfinite": False},
         "saving": {"keep_last_n": 3, "async_save": True},
         "tracking": {"max_map_history": 2},
-        "parallel": {"spatial": 2},
+        "parallel": {"spatial": 2, "tensor": 2},
         "profiling": {"enabled": True},
     }
     assert warn_unknown_keys(config) == []

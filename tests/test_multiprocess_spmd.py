@@ -330,3 +330,162 @@ def test_survivor_exits_nonzero_after_peer_death(tmp_path):
     assert "DONE" not in out0, out0[-3000:]
     print(f"survivor exited rc={procs[0].returncode} {detect_s:.1f}s "
           f"after peer death")
+
+
+_TP_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    proc_id = int(sys.argv[1]); port = sys.argv[2]; ckpt_dir = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # ONE device per process: the 2-way tensor axis then SPANS processes,
+    # so TP-sharded leaves are not fully addressable from either — the
+    # layout where replicate_leaf / make_gather_fn must actually gather
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    sys.path.insert(0, {repo!r})
+    from vae_channel_dynamics_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    jax.distributed.initialize(f"localhost:{{port}}", num_processes=2,
+                               process_id=proc_id)
+    import numpy as np, jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+    from vae_channel_dynamics_tpu.parallel.mesh import (
+        batch_sharding, vector_sharding, make_global_array,
+    )
+    from vae_channel_dynamics_tpu.parallel.zero import (
+        make_gather_fn, make_replicate_leaf_fn, state_shardings,
+    )
+    from vae_channel_dynamics_tpu.intervention import InterventionHandler
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState, build_optimizer, make_train_step,
+    )
+    from vae_channel_dynamics_tpu.training.checkpoint import (
+        restore_train_state, save_train_state,
+    )
+    from vae_channel_dynamics_tpu.utils import naming
+    mesh = make_mesh(tensor=2)  # 2 global devices -> data=1, tensor=2
+    assert dict(mesh.shape) == {{"data": 1, "tensor": 2}}, dict(mesh.shape)
+    module = AutoencoderKL(config=VAEConfig.tiny())
+    params = module.init(
+        {{"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}},
+        jnp.zeros((1, 16, 16, 3)), sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, 0, 10)
+    state = TrainState.create(params, tx)
+    sharding = state_shardings(mesh, state, shard_optimizer=False)
+    gather = make_gather_fn(mesh, state)
+    state = jax.device_put(
+        jax.tree.map(lambda x: np.asarray(x), state), sharding
+    )
+    # TP leaves really span the two processes
+    non_addressable = [
+        l for l in jax.tree.leaves(state.params)
+        if hasattr(l, "is_fully_addressable")
+        and not l.is_fully_addressable
+    ]
+    assert non_addressable, "expected cross-process TP shards"
+    replicate_leaf = make_replicate_leaf_fn(mesh)
+    step = make_train_step(module, tx, 1e-6, mesh=mesh, donate=False,
+                           state_sharding=sharding)
+    # data axis is 1: every process must contribute the identical batch
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        local = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        batch = {{"pixel_values": make_global_array(local,
+                                                    batch_sharding(mesh))}}
+        mask = make_global_array(np.ones(2, np.float32),
+                                 vector_sharding(mesh))
+        state, metrics, _ = step(state, batch, mask, jax.random.PRNGKey(3))
+    loss = float(jax.device_get(metrics["train_loss_step"]))
+    # live nudge through replicate_leaf on the TP-sharded (cross-process) γ
+    gname = "encoder.down_blocks.0.resnets.0.norm1.weight"
+    gleaf = naming.get_param(state.params, gname)
+    assert not gleaf.is_fully_addressable  # the interesting case
+    before = np.asarray(replicate_leaf(gleaf), np.float32)
+    handler = InterventionHandler({{
+        "enabled": True, "strategy": "gentle_nudge_groupnorm_scale",
+        "nudge_factor": 1.2, "max_scale_value": 1.5,
+        "intervention_interval": 1,
+    }})
+    new_params = handler.intervene(
+        state.params,
+        {{"layer": {{"param_name_scale": gname,
+                     "inactive_channel_indices": [0, 5]}}}},
+        global_step=2, replicate_leaf=replicate_leaf,
+    )
+    assert handler.num_nudges_applied == 2, handler.num_nudges_applied
+    after = np.asarray(naming.get_param(new_params, gname), np.float32)
+    expected = before.copy()
+    expected[[0, 5]] = np.minimum(expected[[0, 5]] * 1.2, 1.5)
+    np.testing.assert_allclose(after, expected, rtol=1e-6)
+    state = state.replace(params=new_params)
+    # the TP step accepts the nudged (replicated) leaf back: in_shardings
+    # re-commit it to the tensor layout on the next step
+    local = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    batch = {{"pixel_values": make_global_array(local,
+                                                batch_sharding(mesh))}}
+    mask = make_global_array(np.ones(2, np.float32), vector_sharding(mesh))
+    state, metrics, _ = step(state, batch, mask, jax.random.PRNGKey(4))
+    post_loss = float(jax.device_get(metrics["train_loss_step"]))
+    assert np.isfinite(post_loss)
+    # checkpoint of TP-sharded state: gather collective on BOTH processes,
+    # main writes, both restore and match the live gathered state
+    save_state = gather(state)
+    if proc_id == 0:
+        save_train_state(ckpt_dir, save_state)
+    multihost_utils.sync_global_devices("tp_ckpt_saved")
+    template = TrainState.create(params, tx)
+    restored = restore_train_state(ckpt_dir, template)
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(jax.device_get(save_state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # (the nudged γ itself was already asserted right after intervene;
+    # by checkpoint time one more AdamW step has legitimately moved it,
+    # and the leaf-equality loop above pins restored == live exactly)
+    print(f"RESULT {{loss:.6f}} {{post_loss:.6f}}", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel(tmp_path):
+    """Cross-process tensor parallelism (VERDICT r4 item 4): a 2-process
+    data x tensor mesh where the tensor axis SPANS the processes (1 device
+    each), so TP-sharded leaves are not fully addressable from either
+    process. Proves the three multi-host TP paths: train-step loss parity,
+    a live nudge through the nudger's replicate_leaf all-gather on a
+    cross-process γ, and checkpoint save/restore of TP-sharded state via
+    make_gather_fn — the TP analog of the DDP desync hazard SURVEY §2b
+    flags (a leaf fetch that misses a shard would silently nudge half a
+    γ)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "tp_worker.py"
+    script.write_text(_TP_WORKER.format(repo=repo))
+    ckpt_dir = str(tmp_path / "tp_ckpt")
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    logs = [tmp_path / f"tpworker{i}.log" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), ckpt_dir],
+            stdout=open(logs[i], "w"), stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        p.wait(timeout=600)
+    outputs = [log.read_text() for log in logs]
+    results = []
+    for i, out in enumerate(outputs):
+        assert procs[i].returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"proc {i} produced no result:\n{out[-2000:]}"
+        results.append(lines[-1])
+    # both processes observe identical pre- and post-nudge losses
+    assert results[0] == results[1], results

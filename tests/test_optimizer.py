@@ -211,11 +211,21 @@ def test_cosine_schedule_shape():
 
 
 def test_constant_schedules():
-    assert _sched_vals("constant", [0, 7, 1000]) == [1e-3] * 3
+    # Schedules run inside jit and return float32 — 1e-3 is not exactly
+    # representable there, so compare with np.isclose like the siblings
+    # above (exact Python-float equality was a red-suite bug, VERDICT r4).
+    assert np.allclose(_sched_vals("constant", [0, 7, 1000]), [1e-3] * 3)
     vals = _sched_vals("constant_with_warmup", [0, 5, 10, 1000])
     assert vals[0] == 0.0
     assert np.isclose(vals[1], 0.5e-3)
-    assert vals[2:] == [1e-3, 1e-3]
+    assert np.allclose(vals[2:], [1e-3, 1e-3])
+
+
+def test_constant_with_warmup_zero_warmup_degenerates_to_constant():
+    # HF convention: current_step >= num_warmup_steps returns base_lr,
+    # including warmup_steps=0 — lr at step 0 must be base_lr, not 0.
+    vals = _sched_vals("constant_with_warmup", [0, 1, 50], warmup=0)
+    assert np.allclose(vals, [1e-3] * 3)
 
 
 def test_unknown_scheduler_warns_and_falls_back_to_linear(caplog):

@@ -46,10 +46,11 @@ def test_make_mesh_tensor_axis():
     mesh = make_mesh(8, tensor=2)
     assert mesh.axis_names == (DATA_AXIS, TENSOR_AXIS)
     assert dict(mesh.shape) == {"data": 4, "tensor": 2}
-    # composes with the spatial axis (tensor innermost)
-    mesh3 = make_mesh(8, spatial=2, tensor=2)
-    assert mesh3.axis_names == (DATA_AXIS, "spatial", TENSOR_AXIS)
-    assert dict(mesh3.shape) == {"data": 2, "spatial": 2, "tensor": 2}
+    # spatial x tensor is REFUSED (round 5): jax 0.9.0 GSPMD miscompiles
+    # halo-exchange convs with feature-sharded kernels — see
+    # tests/test_spatial_tensor_guard.py for the pinned repro/canary
+    with pytest.raises(ValueError, match="spatial"):
+        make_mesh(8, spatial=2, tensor=2)
     # existing layouts unchanged (no trivial tensor axis appended)
     assert make_mesh(8).axis_names == (DATA_AXIS,)
     assert make_mesh(8, spatial=2, slices=2).axis_names == (

@@ -358,11 +358,15 @@ def _resnet_remat_cls(remat: Any) -> Any:
       are offloaded to ``pinned_host`` memory at forward time and fetched
       back in the backward (``save_and_offload_only_these_names``), so HBM
       holds only the block inputs — the ``"full"`` footprint — while the
-      backward pays PCIe transfers instead of conv recompute. Whether that
-      trade wins is bandwidth-vs-MXU arithmetic per shape (a 3x3 conv
-      re-runs at ~K²·C FLOPs/byte of saved output, so big-spatial/low-
-      channel blocks favor recompute and deep high-channel blocks favor
-      the fetch) — measured numbers in PERF.md.
+      backward pays PCIe transfers instead of conv recompute. Measured
+      (PERF.md "Offload remat at 1024px"): the transfers cost more than
+      the recompute at every size that runs (256px b8: 241.7 ms vs
+      full's 154.9), and at the memory-wall sizes it was built for the
+      offload schedule itself exhausts device memory on this backend
+      (512px b8 and 1024px b1 both RESOURCE_EXHAUSTED where full/conv
+      run) — keep ``"full"`` at the memory wall; this mode is for
+      backends where host offload DMA is cheap and the staging is
+      genuinely host-resident.
 
     With ``impl="fused"`` the Pallas path never materializes the norm/act
     intermediates in the first place, so ``"conv"`` degenerates to saving the

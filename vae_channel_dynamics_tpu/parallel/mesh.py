@@ -121,6 +121,19 @@ def make_mesh(
     for name, k in (("slices", slices), ("spatial", spatial), ("tensor", tensor)):
         if k < 1:
             raise ValueError(f"parallel.{name} must be >= 1, got {k}")
+    if spatial > 1 and tensor > 1:
+        # GSPMD miscompile (jax 0.9.0): a conv whose INPUT is spatially
+        # sharded (H halo exchange) and whose KERNEL is feature-sharded
+        # returns output scaled by the tensor-axis size — silently wrong
+        # training. Minimal repro + strict-xfail canary (lift this guard
+        # when it xpasses): tests/test_spatial_tensor_guard.py.
+        raise ValueError(
+            "parallel.spatial and parallel.tensor cannot be combined: "
+            "XLA GSPMD miscompiles halo-exchange convs with "
+            "feature-sharded kernels (output scaled by the tensor degree). "
+            "Use one or the other; see tests/test_spatial_tensor_guard.py "
+            "and SCALING.md."
+        )
     if len(devices) % (spatial * slices * tensor) != 0:
         raise ValueError(
             f"{len(devices)} devices not divisible by "

@@ -87,9 +87,13 @@ def make_lr_schedule(
     if name == "constant_with_warmup":
 
         def constant_warmup(count):
+            # HF get_constant_schedule_with_warmup: base_lr whenever
+            # current_step >= num_warmup_steps — including warmup_steps=0,
+            # which must degenerate to the plain constant schedule (lr at
+            # step 0 is base_lr, not 0).
             count = jnp.asarray(count, jnp.float32)
             warm = count / jnp.maximum(1.0, float(warmup_steps))
-            return base_lr * jnp.minimum(1.0, warm)
+            return base_lr * jnp.where(count < warmup_steps, warm, 1.0)
 
         return constant_warmup
     if name == "cosine":

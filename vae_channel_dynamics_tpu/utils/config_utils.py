@@ -154,6 +154,7 @@ _KNOWN_SECTION_KEYS: Dict[str, set] = {
     },
     "parallel": {
         "spatial", "slices", "shard_optimizer", "shard_ema", "shard_params",
+        "tensor",
     },
     "profiling": {"enabled", "start_step", "num_steps", "output_subdir"},
 }
