@@ -45,6 +45,24 @@ def test_every_config_remat_mode_has_perf_coverage():
         )
 
 
+def test_1024_stretch_config_matches_recorded_recipe():
+    """PERF.md "The single-chip 1024px recipe" is the one source of truth
+    for the stretch point; the shipped YAML must encode it knob for knob
+    (VERDICT r4 item 8)."""
+    import yaml
+
+    with open(os.path.join(_REPO, "configs/experiment_1024_stretch.yaml")) as fh:
+        cfg = yaml.safe_load(fh)
+    perf_md = _read("PERF.md")
+    assert "The single-chip 1024px recipe" in perf_md
+    assert cfg["model"]["remat"] == "full"
+    assert cfg["model"]["attention_impl"] == "auto"
+    assert cfg["data"]["batch_size"] == 1
+    assert cfg["data"]["resolution"] == 1024
+    assert cfg["training"]["mixed_precision"] == "bf16"
+    assert cfg["tracking"]["enabled"] is True  # tracking costs noise
+
+
 def test_perf_sections_cited_from_docs_exist():
     # markdown wraps citations across lines, so compare with collapsed
     # whitespace on both sides

@@ -368,3 +368,30 @@ def test_trainer_accepts_tensor_config(tmp_path):
         os.path.join(str(tmp_path), "tp_smoke", "intervention_history.csv")
     ) as fh:
         assert fh.read().strip(), "expected nudges recorded"
+
+
+def test_tp_composes_with_slices():
+    """slice x data x tensor (2x2x2): the multi-slice DCN layout composed
+    with channel parallelism — allowed (no halo convs involved: the slice
+    axis only shards the batch, so the spatial x tensor miscompile guard
+    does not apply) and loss-identical to the replicated oracle on the
+    same global batch."""
+    mesh_s = make_mesh(8, slices=2, tensor=2)
+    assert dict(mesh_s.shape) == {"slice": 2, "data": 2, "tensor": 2}
+    mesh_r = make_mesh(4)
+    _, state_s, step_s = _setup(mesh_s, sharded=True)
+    _, state_r, step_r = _setup(mesh_r, sharded=False)
+    sharded = [
+        leaf
+        for leaf in jax.tree.leaves(state_s.params)
+        if not leaf.sharding.is_fully_replicated
+    ]
+    assert sharded, "expected tensor-sharded leaves on the 3-axis mesh"
+    batch, mask = _batch(8, seed=11)
+    rng = jax.random.PRNGKey(13)
+    state_s, met_s, _ = step_s(state_s, batch, mask, rng)
+    state_r, met_r, _ = step_r(state_r, batch, mask, rng)
+    np.testing.assert_allclose(
+        float(met_s["train_loss_step"]), float(met_r["train_loss_step"]),
+        rtol=2e-5,
+    )
