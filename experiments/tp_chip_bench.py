@@ -54,8 +54,8 @@ def forced_tp_shardings(mesh: Mesh, state) -> "TrainState":
     """The spec _combined_spec would emit for tensor>1, at tensor size 1."""
 
     def leaf(x):
-        i = _channel_axis(x.shape, 1)
-        if i is None or not hasattr(x, "shape") or x.ndim == 0:
+        i = _channel_axis(x.shape, 1)  # size 1 divides every dim -> last axis
+        if i is None:  # scalars (Adam count, step)
             return NamedSharding(mesh, P())
         spec = [None] * x.ndim
         spec[i] = TENSOR_AXIS
