@@ -122,16 +122,25 @@ def make_mesh(
         if k < 1:
             raise ValueError(f"parallel.{name} must be >= 1, got {k}")
     if spatial > 1 and tensor > 1:
-        # GSPMD miscompile (jax 0.9.0): a conv whose INPUT is spatially
-        # sharded (H halo exchange) and whose KERNEL is feature-sharded
-        # returns output scaled by the tensor-axis size — silently wrong
-        # training. Minimal repro + strict-xfail canary (lift this guard
-        # when it xpasses): tests/test_spatial_tensor_guard.py.
+        # GSPMD miscompiles (jax 0.9.0) on spatial x tensor meshes, two
+        # ways: (a) a halo-exchange conv whose KERNEL is O-sharded on the
+        # tensor axis returns output scaled by the tensor-axis size; (b)
+        # even with every operand replicated, the kernel-GRADIENT of a
+        # halo conv is scaled by the size of any mesh axis the program
+        # leaves unused — so a "gathered-weights" workaround is wrong in
+        # the backward too. Minimal repros + strict-xfail canaries (lift
+        # this guard when they xpass): tests/test_spatial_tensor_guard.py.
+        # The combination is also strictly dominated: under a spatial
+        # mesh, widening `data` and setting parallel.shard_params gives
+        # the same 1/N weight-memory relief via the (round-5-fixed)
+        # replicated-compute ZeRO-3 path with no exposure to either bug.
         raise ValueError(
             "parallel.spatial and parallel.tensor cannot be combined: "
-            "XLA GSPMD miscompiles halo-exchange convs with "
-            "feature-sharded kernels (output scaled by the tensor degree). "
-            "Use one or the other; see tests/test_spatial_tensor_guard.py "
+            "XLA GSPMD miscompiles halo-exchange convs on such meshes "
+            "(forward with feature-sharded kernels AND kernel gradients "
+            "under unused mesh axes). Use a wider data axis with "
+            "parallel.shard_params instead — same per-device weight "
+            "memory, correct math; see tests/test_spatial_tensor_guard.py "
             "and SCALING.md."
         )
     if len(devices) % (spatial * slices * tensor) != 0:

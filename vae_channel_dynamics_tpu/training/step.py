@@ -26,7 +26,12 @@ import optax
 
 from ..models.vae import flatten_stats
 from ..ops.stats import tap_mask
-from ..parallel.mesh import batch_sharding, replicated_sharding, vector_sharding
+from ..parallel.mesh import (
+    SPATIAL_AXIS,
+    batch_sharding,
+    replicated_sharding,
+    vector_sharding,
+)
 from .state import TrainState
 
 logger = logging.getLogger(__name__)
@@ -197,6 +202,43 @@ def dequantize_pixels(pixel_values: jax.Array) -> jax.Array:
     return pixel_values
 
 
+def _params_compute_sharding(mesh, params_sharding):
+    """The params' compute-time sharding, or None when no re-constraint is
+    needed: on a mesh WITH a ``spatial`` axis, sharded parameter leaves
+    must be re-replicated before the model runs.
+
+    jax 0.9.0 GSPMD miscompiles the BACKWARD of the model whenever
+    parameter leaves are sharded while activations are spatially sharded
+    (halo exchange over H): the forward loss is exact, but the parameter
+    gradients come back wrong by large factors (discovered round 5 —
+    ZeRO-3 under a spatial mesh trained silently wrong; the kernel-grad
+    convs of O-sharded kernels on the tensor axis are wrong in the
+    FORWARD too). tests/test_spatial_tensor_guard.py pins the repros as
+    strict-xfail canaries. The workaround: the step constrains the params
+    to fully-replicated at the top of the forward
+    (``jax.lax.with_sharding_constraint``) — XLA all-gathers each weight
+    at use (exactly the collective ZeRO-3 would schedule anyway), every
+    conv runs the known-good replicated-kernel halo program, and the
+    constraint's transpose reduce-scatters the gradients back onto the
+    at-rest layout for the sharded optimizer update. Asserted
+    grad-bit-identical to the replicated-params spatial program in
+    tests/test_spatial_tensor_guard.py; at-rest memory relief (1/N
+    params/moments/EMA) is unchanged. Data-only (non-spatial) meshes
+    return None — their ZeRO/TP compute paths are correct raw and keep
+    their measured schedules."""
+    if (
+        mesh is None
+        or params_sharding is None
+        or SPATIAL_AXIS not in mesh.axis_names
+    ):
+        return None
+    sharded = any(
+        not getattr(s, "is_fully_replicated", True)
+        for s in jax.tree.leaves(params_sharding)
+    )
+    return replicated_sharding(mesh) if sharded else None
+
+
 def _forward_with_stats(module, params, pixel_values, rng, sample_posterior):
     out, mutated = module.apply(
         {"params": params},
@@ -254,12 +296,25 @@ def make_train_step(
     param all-gather purely from these annotations (see parallel/zero.py).
     """
     accumulate = stats_accumulate or default_stats_accumulate
+    compute_sharding = _params_compute_sharding(
+        mesh,
+        getattr(state_sharding, "params", None)
+        if state_sharding is not None
+        else None,
+    )
 
     def step_fn(state: TrainState, batch, mask, rng):
         rng_step = jax.random.fold_in(rng, state.step)
         pixel_values = dequantize_pixels(batch["pixel_values"])
 
         def loss_fn(params):
+            if compute_sharding is not None:
+                # sharded params under a spatial mesh: re-replicate at use
+                # (GSPMD backward miscompile workaround — see
+                # _params_compute_sharding)
+                params = jax.lax.with_sharding_constraint(
+                    params, compute_sharding
+                )
             out, stats = _forward_with_stats(
                 module, params, pixel_values, rng_step, True
             )
@@ -345,8 +400,15 @@ def make_eval_step(module, mesh=None, params_sharding=None):
     pytree when the live params are ZeRO-3-sharded (parallel.shard_params)
     — jit rejects committed arrays whose sharding differs from
     in_shardings, so validation must declare the layout it is given."""
+    compute_sharding = _params_compute_sharding(mesh, params_sharding)
 
     def eval_fn(params, batch, mask):
+        if compute_sharding is not None:
+            # sharded params under a spatial mesh: same re-replicated
+            # compute layout as the train step (the forward alone measures
+            # exact raw, but uniform semantics cost one already-needed
+            # gather — see _params_compute_sharding)
+            params = jax.lax.with_sharding_constraint(params, compute_sharding)
         pixel_values = dequantize_pixels(batch["pixel_values"])
         out, _ = _forward_with_stats(module, params, pixel_values, None, False)
         recon = out["reconstruction"].astype(jnp.float32)
