@@ -510,6 +510,15 @@ class Trainer:
                     "parallel.shard_params: parameter buffers sharded over "
                     "the %d-way data axis (ZeRO-3).", n_shards,
                 )
+                if spatial > 1:
+                    logger.info(
+                        "shard_params + spatial: the train/eval steps "
+                        "re-replicate the sharded params at compute time "
+                        "(jax 0.9.0 GSPMD computes wrong parameter "
+                        "gradients for sharded params under a halo-"
+                        "exchanged mesh — see SCALING.md; at-rest 1/N "
+                        "memory relief is unchanged)."
+                    )
             if tensor > 1:
                 logger.info(
                     "parallel.tensor: params/moments/EMA channel axes "
