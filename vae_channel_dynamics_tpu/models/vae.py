@@ -40,6 +40,7 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import chunked_attention, resolve_impl
+from ..ops.spatial_conv import active_spatial_mesh, halo_conv
 from ..ops.group_norm import group_norm, silu
 from ..ops.stats import channel_stats
 from .distributions import DiagonalGaussianDistribution
@@ -214,18 +215,44 @@ class VConv(TapModule):
             # the parent's fused Pallas op; x is only a shape carrier here
             return kernel, bias
         self.tap(x, "input")
+        # parallel.spatial_conv: shard_map — when the train/eval step has
+        # installed a spatial-conv scope (ops/spatial_conv.py), the conv's
+        # H axis is halo-exchanged manually under shard_map instead of by
+        # GSPMD (whose jax-0.9.0 halo partitioner miscompiles; see the
+        # module docstring). Same math, same dtype/precision rules.
+        smesh = active_spatial_mesh()
         if self.fuse_nearest_upsample:
             w4 = jnp.zeros((4, 4) + kernel.shape[2:], kernel.dtype)
             for p in (0, 1):
                 for q in (0, 1):
                     w4 = w4.at[p : p + 3, q : q + 3].add(kernel)
-            y = jax.lax.conv_general_dilated(
+            if smesh is not None:
+                y = halo_conv(
+                    x.astype(self.dtype),
+                    w4.astype(self.dtype),
+                    strides=(1, 1),
+                    padding=((2, 2), (2, 2)),
+                    lhs_dilation=(2, 2),
+                    mesh=smesh,
+                    precision=_precision_for(self.dtype),
+                )
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    w4.astype(self.dtype),
+                    window_strides=(1, 1),
+                    padding=((2, 2), (2, 2)),
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=_precision_for(self.dtype),
+                )
+        elif smesh is not None:
+            y = halo_conv(
                 x.astype(self.dtype),
-                w4.astype(self.dtype),
-                window_strides=(1, 1),
-                padding=((2, 2), (2, 2)),
-                lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                kernel.astype(self.dtype),
+                strides=self.strides,
+                padding=self.padding,
+                mesh=smesh,
                 precision=_precision_for(self.dtype),
             )
         else:

@@ -84,6 +84,7 @@ def make_mesh(
     spatial: int = 1,
     slices: int = 1,
     tensor: int = 1,
+    spatial_conv: str = "gspmd",
 ) -> Mesh:
     """Device mesh over the first ``n_devices`` devices.
 
@@ -121,7 +122,12 @@ def make_mesh(
     for name, k in (("slices", slices), ("spatial", spatial), ("tensor", tensor)):
         if k < 1:
             raise ValueError(f"parallel.{name} must be >= 1, got {k}")
-    if spatial > 1 and tensor > 1:
+    if spatial_conv not in ("gspmd", "shard_map"):
+        raise ValueError(
+            f"parallel.spatial_conv must be 'gspmd' or 'shard_map', "
+            f"got {spatial_conv!r}"
+        )
+    if spatial > 1 and tensor > 1 and spatial_conv != "shard_map":
         # GSPMD miscompiles (jax 0.9.0) on spatial x tensor meshes, two
         # ways: (a) a halo-exchange conv whose KERNEL is O-sharded on the
         # tensor axis returns output scaled by the tensor-axis size; (b)
@@ -135,13 +141,16 @@ def make_mesh(
         # the same 1/N weight-memory relief via the (round-5-fixed)
         # replicated-compute ZeRO-3 path with no exposure to either bug.
         raise ValueError(
-            "parallel.spatial and parallel.tensor cannot be combined: "
-            "XLA GSPMD miscompiles halo-exchange convs on such meshes "
-            "(forward with feature-sharded kernels AND kernel gradients "
-            "under unused mesh axes). Use a wider data axis with "
-            "parallel.shard_params instead — same per-device weight "
-            "memory, correct math; see tests/test_spatial_tensor_guard.py "
-            "and SCALING.md."
+            "parallel.spatial and parallel.tensor cannot be combined under "
+            "the default GSPMD spatial partitioner: XLA GSPMD miscompiles "
+            "halo-exchange convs on such meshes (forward with "
+            "feature-sharded kernels AND kernel gradients under unused "
+            "mesh axes). Either set parallel.spatial_conv: shard_map "
+            "(manual halo exchange, exact on these meshes — "
+            "ops/spatial_conv.py) or use a wider data axis with "
+            "parallel.shard_params — same per-device weight memory, "
+            "correct math; see tests/test_spatial_tensor_guard.py and "
+            "SCALING.md."
         )
     if len(devices) % (spatial * slices * tensor) != 0:
         raise ValueError(

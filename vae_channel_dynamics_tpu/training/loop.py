@@ -181,7 +181,25 @@ class Trainer:
         # the per-conv activation gathers. An HBM-relief axis beyond
         # ZeRO-3 + spatial (see SCALING.md for when each axis pays).
         tensor = as_int(parallel_config.get("tensor"), 1)
-        mesh = make_mesh(spatial=spatial, slices=slices, tensor=tensor)
+        # parallel.spatial_conv [new]: how convs partition over a spatial
+        # axis. "gspmd" (default) leaves the halo exchange to XLA;
+        # "shard_map" exchanges halos manually per conv
+        # (ops/spatial_conv.py), which sidesteps the jax-0.9.0 GSPMD halo
+        # miscompiles — enabling spatial x tensor meshes and sharded
+        # params without the compute-time re-replication.
+        spatial_conv = str(
+            parallel_config.get("spatial_conv", "gspmd")
+        ).strip().lower()
+        mesh = make_mesh(
+            spatial=spatial, slices=slices, tensor=tensor,
+            spatial_conv=spatial_conv,
+        )
+        if spatial_conv == "shard_map" and spatial > 1:
+            logger.info(
+                "parallel.spatial_conv: shard_map — convs halo-exchange "
+                "manually over the %d-way spatial axis (GSPMD halo "
+                "partitioner bypassed).", spatial,
+            )
         from ..parallel.mesh import data_axis_size
 
         n_shards = data_axis_size(mesh)
@@ -510,14 +528,16 @@ class Trainer:
                     "parallel.shard_params: parameter buffers sharded over "
                     "the %d-way data axis (ZeRO-3).", n_shards,
                 )
-                if spatial > 1:
+                if spatial > 1 and spatial_conv != "shard_map":
                     logger.info(
                         "shard_params + spatial: the train/eval steps "
                         "re-replicate the sharded params at compute time "
                         "(jax 0.9.0 GSPMD computes wrong parameter "
                         "gradients for sharded params under a halo-"
                         "exchanged mesh — see SCALING.md; at-rest 1/N "
-                        "memory relief is unchanged)."
+                        "memory relief is unchanged). "
+                        "parallel.spatial_conv: shard_map avoids the "
+                        "re-replication entirely."
                     )
             if tensor > 1:
                 logger.info(
@@ -554,7 +574,7 @@ class Trainer:
         step_plain = make_train_step(
             module_plain, tx, self.kl_weight, mesh=mesh,
             stats_accumulate=ActivityMonitor.accumulate, ema_decay=ema_decay,
-            state_sharding=state_sharding,
+            state_sharding=state_sharding, spatial_conv=spatial_conv,
         )
         step_maps = None
         if monitor.enabled and monitor.map_keys:
@@ -567,11 +587,12 @@ class Trainer:
                 module_maps, tx, self.kl_weight, mesh=mesh,
                 stats_accumulate=ActivityMonitor.accumulate,
                 map_keys=monitor.map_keys, ema_decay=ema_decay,
-                state_sharding=state_sharding,
+                state_sharding=state_sharding, spatial_conv=spatial_conv,
             )
         eval_step = (
             make_eval_step(
-                module_plain, mesh=mesh, params_sharding=params_sharding
+                module_plain, mesh=mesh, params_sharding=params_sharding,
+                spatial_conv=spatial_conv,
             )
             if do_validation
             else None

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.vae import flatten_stats
+from ..ops.spatial_conv import spatial_conv_scope
 from ..ops.stats import tap_mask
 from ..parallel.mesh import (
     SPATIAL_AXIS,
@@ -202,7 +203,7 @@ def dequantize_pixels(pixel_values: jax.Array) -> jax.Array:
     return pixel_values
 
 
-def _params_compute_sharding(mesh, params_sharding):
+def _params_compute_sharding(mesh, params_sharding, spatial_conv="gspmd"):
     """The params' compute-time sharding, or None when no re-constraint is
     needed: on a mesh WITH a ``spatial`` axis, sharded parameter leaves
     must be re-replicated before the model runs.
@@ -225,11 +226,18 @@ def _params_compute_sharding(mesh, params_sharding):
     tests/test_spatial_tensor_guard.py; at-rest memory relief (1/N
     params/moments/EMA) is unchanged. Data-only (non-spatial) meshes
     return None — their ZeRO/TP compute paths are correct raw and keep
-    their measured schedules."""
+    their measured schedules.
+
+    ``spatial_conv="shard_map"`` also returns None: with every conv's
+    spatial axis handled manually under shard_map (ops/spatial_conv.py)
+    there is no GSPMD halo program left to miscompile, and sharded params
+    take the standard (correct) non-spatial gather-at-use path — asserted
+    against the replicated oracle in tests/test_spatial_conv.py."""
     if (
         mesh is None
         or params_sharding is None
         or SPATIAL_AXIS not in mesh.axis_names
+        or spatial_conv == "shard_map"
     ):
         return None
     sharded = any(
@@ -279,6 +287,7 @@ def make_train_step(
     donate: bool = True,
     ema_decay: float = 0.0,
     state_sharding=None,
+    spatial_conv: str = "gspmd",
 ):
     """Build the jitted train step.
 
@@ -301,7 +310,14 @@ def make_train_step(
         getattr(state_sharding, "params", None)
         if state_sharding is not None
         else None,
+        spatial_conv,
     )
+    # parallel.spatial_conv="shard_map": convs halo-exchange manually
+    # under shard_map (ops/spatial_conv.py) instead of via GSPMD's
+    # (jax-0.9.0-miscompiled) halo partitioner; the scope is consulted by
+    # VConv at trace time. Inactive (scope installs nothing) off spatial
+    # meshes.
+    conv_mesh = mesh if spatial_conv == "shard_map" else None
 
     def step_fn(state: TrainState, batch, mask, rng):
         rng_step = jax.random.fold_in(rng, state.step)
@@ -327,7 +343,7 @@ def make_train_step(
         # of the last sample, parallel/mesh.pad_batch_to_multiple) carry zero
         # weight — reference hook semantics, which never pad. Trace-time
         # context: the mask tracer and the tap tracers share this trace.
-        with tap_mask(mask):
+        with tap_mask(mask), spatial_conv_scope(conv_mesh):
             (loss, (rec_loss, kl_loss, stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
@@ -391,7 +407,7 @@ def make_train_step(
     )
 
 
-def make_eval_step(module, mesh=None, params_sharding=None):
+def make_eval_step(module, mesh=None, params_sharding=None, spatial_conv="gspmd"):
     """Deterministic (mode) forward returning SUM-convention losses for
     validation (src/train.py:77-78) plus the per-element-mean MSE used by
     evaluate.py (src/evaluate.py:231-240).
@@ -399,8 +415,12 @@ def make_eval_step(module, mesh=None, params_sharding=None):
     ``params_sharding`` (optional, requires ``mesh``): the params' sharding
     pytree when the live params are ZeRO-3-sharded (parallel.shard_params)
     — jit rejects committed arrays whose sharding differs from
-    in_shardings, so validation must declare the layout it is given."""
-    compute_sharding = _params_compute_sharding(mesh, params_sharding)
+    in_shardings, so validation must declare the layout it is given.
+
+    ``spatial_conv`` mirrors the train step (shard_map convs need no
+    re-replication; see _params_compute_sharding)."""
+    compute_sharding = _params_compute_sharding(mesh, params_sharding, spatial_conv)
+    conv_mesh = mesh if spatial_conv == "shard_map" else None
 
     def eval_fn(params, batch, mask):
         if compute_sharding is not None:
@@ -410,7 +430,8 @@ def make_eval_step(module, mesh=None, params_sharding=None):
             # gather — see _params_compute_sharding)
             params = jax.lax.with_sharding_constraint(params, compute_sharding)
         pixel_values = dequantize_pixels(batch["pixel_values"])
-        out, _ = _forward_with_stats(module, params, pixel_values, None, False)
+        with spatial_conv_scope(conv_mesh):
+            out, _ = _forward_with_stats(module, params, pixel_values, None, False)
         recon = out["reconstruction"].astype(jnp.float32)
         pixels = pixel_values.astype(jnp.float32)
         per_sample_sq_sum = jnp.sum(

@@ -154,7 +154,7 @@ _KNOWN_SECTION_KEYS: Dict[str, set] = {
     },
     "parallel": {
         "spatial", "slices", "shard_optimizer", "shard_ema", "shard_params",
-        "tensor",
+        "tensor", "spatial_conv",
     },
     "profiling": {"enabled", "start_step", "num_steps", "output_subdir"},
 }
