@@ -489,3 +489,124 @@ def test_two_process_tensor_parallel(tmp_path):
         results.append(lines[-1])
     # both processes observe identical pre- and post-nudge losses
     assert results[0] == results[1], results
+
+
+_SPATIAL_SM_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    proc_id = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # ONE device per process: the 2-way SPATIAL axis spans the processes,
+    # so every conv's halo ppermute crosses the process boundary — the
+    # multi-host path ops/spatial_conv.py must survive
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    sys.path.insert(0, {repo!r})
+    from vae_channel_dynamics_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    jax.distributed.initialize(f"localhost:{{port}}", num_processes=2,
+                               process_id=proc_id)
+    import numpy as np, jax.numpy as jnp
+    from vae_channel_dynamics_tpu.parallel import make_mesh
+    from vae_channel_dynamics_tpu.parallel.mesh import (
+        batch_sharding, vector_sharding, make_global_array,
+        replicated_sharding,
+    )
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState, build_optimizer, make_train_step,
+    )
+    mesh = make_mesh(spatial=2, spatial_conv="shard_map")
+    assert dict(mesh.shape) == {{"data": 1, "spatial": 2}}, dict(mesh.shape)
+    module = AutoencoderKL(config=VAEConfig.tiny())
+    params = module.init(
+        {{"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}},
+        jnp.zeros((1, 16, 16, 3)), sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, 0, 10)
+    state = jax.device_put(TrainState.create(params, tx),
+                           replicated_sharding(mesh))
+    step = make_train_step(module, tx, 1e-6, mesh=mesh, donate=False,
+                           spatial_conv="shard_map")
+    # data axis is 1; H is sharded over spatial ACROSS the processes, so
+    # both processes synthesize the identical global batch and each hands
+    # make_global_array its own 8-row H slice
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        full = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        local = full[:, 8 * proc_id : 8 * (proc_id + 1)]
+        batch = {{"pixel_values": make_global_array(local,
+                                                    batch_sharding(mesh))}}
+        mask = make_global_array(np.ones(2, np.float32),
+                                 vector_sharding(mesh))
+        state, metrics, _ = step(state, batch, mask, jax.random.PRNGKey(3))
+    loss = float(jax.device_get(metrics["train_loss_step"]))
+    print(f"RESULT {{loss:.6f}}", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_spatial_shard_map(tmp_path):
+    """Cross-process manual halo exchange: a 2-process mesh whose SPATIAL
+    axis spans the processes (1 device each), every conv's shard_map
+    ppermute riding the distributed runtime. Both processes must see the
+    identical 2-step loss, and it must equal the single-device oracle
+    trajectory computed in-process (mesh=None) on the same seeds — the
+    multi-host proof for parallel.spatial_conv: shard_map
+    (ops/spatial_conv.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_channel_dynamics_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vae_channel_dynamics_tpu.training import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "spatial_sm_worker.py"
+    script.write_text(_SPATIAL_SM_WORKER.format(repo=repo))
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    logs = [tmp_path / f"smworker{i}.log" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=open(logs[i], "w"), stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        p.wait(timeout=600)
+    results = []
+    for i, log in enumerate(logs):
+        out = log.read_text()
+        assert procs[i].returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"proc {i} produced no result:\n{out[-2000:]}"
+        results.append(lines[-1])
+    assert results[0] == results[1], results
+
+    # single-device oracle on the same seeds (the workers' batch sequence)
+    module = AutoencoderKL(config=VAEConfig.tiny())
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)), sample_posterior=False,
+    )["params"]
+    tx, _ = build_optimizer(1e-3, 0, 10)
+    state = TrainState.create(params, tx)
+    step = make_train_step(module, tx, 1e-6, mesh=None, donate=False)
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        full = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        state, metrics, _ = step(
+            state, {"pixel_values": full}, np.ones(2, np.float32),
+            jax.random.PRNGKey(3),
+        )
+    oracle = float(jax.device_get(metrics["train_loss_step"]))
+    worker = float(results[0].split()[1])
+    np.testing.assert_allclose(worker, oracle, rtol=2e-5)
