@@ -88,6 +88,14 @@ def main():
             False,
         ),
     )
+    # CENSUS_VARIANTS: comma-separated tags to run — one variant per
+    # process keeps the SDXL-width compiles under the box's RSS ceiling
+    # (CLAUDE.md: cumulative heavy XLA CPU compiles SIGABRT the process);
+    # loss-parity asserts only run when the dp oracle is in the selection.
+    only = os.environ.get("CENSUS_VARIANTS")
+    if only:
+        wanted = {t.strip() for t in only.split(",")}
+        variants = tuple(v for v in variants if v[0] in wanted)
     for tag, mesh_kwargs, conv_impl, zero3 in variants:
         mesh = make_mesh(**mesh_kwargs)
         tx, _ = build_optimizer(1e-4, warmup_steps=1, max_train_steps=10)
@@ -113,10 +121,11 @@ def main():
         losses[tag] = float(metrics["train_loss_step"])
         print(f"{tag}: {results[tag]}  loss={losses[tag]:.6f}", flush=True)
 
-    ref = losses["dp-oracle"]
-    for tag, loss in losses.items():
-        assert abs(loss - ref) <= 1e-5 * max(1.0, abs(ref)), (tag, losses)
-    print("losses identical across all variants:", losses)
+    if "dp-oracle" in losses:
+        ref = losses["dp-oracle"]
+        for tag, loss in losses.items():
+            assert abs(loss - ref) <= 1e-5 * max(1.0, abs(ref)), (tag, losses)
+        print("losses identical across all variants:", losses)
 
 
 if __name__ == "__main__":
