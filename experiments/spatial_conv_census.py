@@ -75,12 +75,16 @@ def main():
     }
     mask = np.ones(batch_n, np.float32)
     results, losses = {}, {}
+    # CENSUS_SPATIAL: spatial degree for the head-to-head rows (default 4;
+    # the SDXL-width shard_map compile at spatial=4 exceeds this box's CPU
+    # RSS ceiling — use 2 there)
+    sp = int(os.environ.get("CENSUS_SPATIAL", "4"))
     variants = (
         ("dp-oracle", dict(n_devices=4), "gspmd", False),
-        ("spatial-gspmd", dict(n_devices=8, spatial=4), "gspmd", False),
-        ("spatial-shard_map", dict(n_devices=8, spatial=4), "shard_map", False),
-        ("zero3-gspmd", dict(n_devices=8, spatial=4), "gspmd", True),
-        ("zero3-shard_map", dict(n_devices=8, spatial=4), "shard_map", True),
+        ("spatial-gspmd", dict(n_devices=8, spatial=sp), "gspmd", False),
+        ("spatial-shard_map", dict(n_devices=8, spatial=sp), "shard_map", False),
+        ("zero3-gspmd", dict(n_devices=8, spatial=sp), "gspmd", True),
+        ("zero3-shard_map", dict(n_devices=8, spatial=sp), "shard_map", True),
         (
             "spxtp-shard_map",
             dict(n_devices=8, spatial=2, tensor=2, spatial_conv="shard_map"),
