@@ -9,6 +9,8 @@ formerly-refused ``spatial x tensor`` mesh and ZeRO-3-sharded params on a
 spatial mesh WITHOUT the compute-time re-replication workaround.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -295,3 +297,131 @@ def test_scope_is_inert_without_spatial_axis():
     with spatial_conv_scope(mesh_sp):
         assert active_spatial_mesh() is mesh_sp
     assert active_spatial_mesh() is None
+
+
+@pytest.mark.parametrize("remat", ["full", "conv"], ids=["remat-full", "remat-conv"])
+def test_train_step_shard_map_spatial_with_remat_and_bf16(remat):
+    """The realistic 1024px scale-out composition: rematerialized resnet
+    blocks (jax.checkpoint replays the shard_map halo convs in the
+    backward) + bf16 compute + spatial shard_map convs. Loss parity
+    against the same-remat same-dtype data-only-mesh step — pins that
+    checkpoint-of-shard_map replays correctly and the halo path is
+    dtype-clean under bf16."""
+    cfg = VAEConfig.tiny()
+    import jax.numpy as jnp_
+
+    def build(mesh, spatial_conv):
+        module = AutoencoderKL(config=cfg, dtype=jnp_.bfloat16, remat=remat)
+        params = module.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 16, 16, 3)),
+            sample_posterior=False,
+        )["params"]
+        tx, _ = build_optimizer(1e-3, warmup_steps=2, max_train_steps=100)
+        state = jax.device_put(
+            TrainState.create(jax.device_get(params), tx),
+            replicated_sharding(mesh),
+        )
+        step = make_train_step(
+            module, tx, 1e-6, mesh=mesh, donate=False,
+            spatial_conv=spatial_conv,
+        )
+        return state, step
+
+    batch, mask = _batch(8, seed=13)
+    rng = jax.random.PRNGKey(17)
+    state_r, step_r = build(make_mesh(8), "gspmd")
+    state_s, step_s = build(make_mesh(8, spatial=2), "shard_map")
+    for i in range(2):
+        state_r, met_r, _ = step_r(state_r, batch, mask, rng)
+        state_s, met_s, _ = step_s(state_s, batch, mask, rng)
+        np.testing.assert_allclose(
+            float(met_s["train_loss_step"]),
+            float(met_r["train_loss_step"]),
+            rtol=5e-4,  # bf16 compute under different partitionings:
+            # reduction-order noise ~1e-4 relative is expected
+            err_msg=f"remat={remat} loss diverged at step {i}",
+        )
+        np.testing.assert_allclose(
+            float(met_s["grad_norm"]),
+            float(met_r["grad_norm"]),
+            rtol=5e-3,  # bf16 compute: reduction-order noise is larger
+            err_msg=f"remat={remat} grad norm diverged at step {i}",
+        )
+
+
+def test_bf16_tensor_shard_map_guard():
+    """halo_conv refuses bf16 compute when the mesh carries a tensor axis
+    (which must stay automatic): jax 0.9.0 XLA CRASHES (hard abort, not
+    an exception) compiling the backward of a low-precision conv inside a
+    shard_map region with any automatic axis left — see the subprocess
+    canary below."""
+    mesh = make_mesh(8, spatial=2, tensor=2, spatial_conv="shard_map")
+    x = jnp.zeros((2, 16, 16, 8), jnp.bfloat16)
+    k = jnp.zeros((3, 3, 8, 8), jnp.bfloat16)
+    with pytest.raises(ValueError, match="tensor"):
+        halo_conv(x, k, strides=(1, 1), padding=((1, 1), (1, 1)), mesh=mesh)
+    # fp32 on the same mesh is the supported path
+    y = halo_conv(
+        jnp.zeros((2, 16, 16, 8), jnp.float32),
+        jnp.zeros((3, 3, 8, 8), jnp.float32),
+        strides=(1, 1), padding=((1, 1), (1, 1)), mesh=mesh,
+    )
+    assert y.shape == (2, 16, 16, 8)
+
+
+_CRASH_CANARY = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax, jax.numpy as jnp, numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+jax.config.update("jax_platforms", "cpu")
+mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
+            ("data", "spatial", "tensor"))
+x = jax.device_put(jnp.ones((4, 16, 16, 8), jnp.bfloat16),
+                   NamedSharding(mesh, P("data", "spatial")))
+k = jax.device_put(jnp.ones((3, 3, 8, 8), jnp.bfloat16),
+                   NamedSharding(mesh, P()))
+def body(xb, kk):
+    return lax.conv_general_dilated(
+        xb, kk, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+f = jax.shard_map(body, mesh=mesh, axis_names={"data", "spatial"},
+                  in_specs=(P("data", "spatial"), P()),
+                  out_specs=P("data", "spatial"))
+g = jax.jit(jax.grad(
+    lambda a, b: jnp.sum(f(a, b).astype(jnp.float32) ** 2), argnums=(0, 1)
+))(x, k)
+jax.block_until_ready(g)
+print("COMPILED_OK")
+"""
+
+
+@pytest.mark.slow
+def test_bf16_auto_axis_shard_map_crash_canary(tmp_path):
+    """Upstream canary for the guard above: a bf16 conv BACKWARD inside a
+    shard_map region that leaves one mesh axis automatic hard-aborts XLA
+    ("Invalid binary instruction opcode copy", hlo_instruction.cc) — run
+    in a subprocess because a C++ CHECK failure kills the interpreter.
+    The day a jax upgrade makes the child exit 0, this test FAILS — the
+    signal to drop halo_conv's bf16+tensor refusal."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "canary.py"
+    script.write_text(_CRASH_CANARY)
+    out = tmp_path / "canary.log"
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX", "XLA"))}
+    with open(out, "w") as f:
+        rc = subprocess.call(
+            [sys.executable, str(script)], stdout=f,
+            stderr=subprocess.STDOUT, env=env, timeout=600,
+        )
+    log = out.read_text()
+    assert rc != 0 and "COMPILED_OK" not in log, (
+        "jax now compiles bf16 conv backwards inside partial-auto "
+        "shard_map regions — lift halo_conv's bf16+tensor guard "
+        f"(ops/spatial_conv.py); rc={rc}\n{log[-1000:]}"
+    )

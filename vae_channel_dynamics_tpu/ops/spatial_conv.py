@@ -192,6 +192,39 @@ def halo_conv(
         local_hpad = (0, 0)
         dil = (1, 1)
 
+    # Manual over the batch axes TOO, not just spatial: XLA (jax 0.9.0)
+    # CRASHES ("Invalid binary instruction opcode copy",
+    # hlo_instruction.cc) partitioning the BACKWARD of a low-precision
+    # (bf16) conv inside a shard_map region whenever any mesh axis remains
+    # automatic — fully-manual compiles and matches the oracle. Making
+    # slice/data manual costs nothing (the batch block is embarrassingly
+    # parallel inside the conv; grad psums over batch axes are inserted by
+    # the shard_map transpose exactly where GSPMD would put them). The
+    # `tensor` axis must stay automatic (its per-kernel channel specs vary
+    # by leaf), so bf16 + tensor + shard_map is refused loudly below —
+    # pinned by the subprocess canary in tests/test_spatial_conv.py.
+    manual = {SPATIAL_AXIS}
+    batch_axes = []
+    for ax in ("slice", "data"):
+        if ax in mesh.axis_names:
+            manual.add(ax)
+            batch_axes.append(ax)
+    has_auto_tensor = (
+        "tensor" in mesh.axis_names and int(mesh.shape["tensor"]) > 1
+    )
+    if has_auto_tensor and jnp.dtype(x.dtype).itemsize < 4:
+        raise ValueError(
+            "spatial_conv=shard_map with parallel.tensor and "
+            f"{x.dtype} compute: jax 0.9.0 XLA crashes compiling the "
+            "backward of a low-precision conv inside a shard_map region "
+            "that leaves a mesh axis automatic (the tensor axis must stay "
+            "automatic — its channel sharding varies per kernel). Use "
+            "fp32 compute (mixed_precision: 'no') on spatial x tensor "
+            "meshes, or drop one of the axes; see "
+            "tests/test_spatial_conv.py's crash canary."
+        )
+    bspec = tuple(batch_axes) if batch_axes else None
+
     def body(xb, k):
         xp = _exchange(xb, L, R, S)
         return lax.conv_general_dilated(
@@ -207,7 +240,7 @@ def halo_conv(
     return jax.shard_map(
         body,
         mesh=mesh,
-        axis_names={SPATIAL_AXIS},
-        in_specs=(P(None, SPATIAL_AXIS), P()),
-        out_specs=P(None, SPATIAL_AXIS),
+        axis_names=manual,
+        in_specs=(P(bspec, SPATIAL_AXIS), P()),
+        out_specs=P(bspec, SPATIAL_AXIS),
     )(x, kernel)
